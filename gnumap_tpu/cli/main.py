@@ -1,0 +1,167 @@
+"""CLI driver — the ``gnumap`` command-line equivalent (SURVEY.md §1 L7).
+
+Mirrors the reference's semantic knobs (getopt flags catalogued in SURVEY.md
+§5 "Config / flag system": ``-g`` genome, ``-o`` output, ``-a`` align-score
+ratio, ``-m`` mer size, ``-j`` seed jump, gap penalties, substitution file,
+bisulfite/SNP toggles, max hits cap).  Exact reference flag letters were
+unverifiable (empty mount); semantics are preserved, letters chosen to match
+the published descriptions.
+
+Usage:
+    python -m gnumap_tpu.cli.main -g genome.fa -o out reads.fastq [reads2 ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import sys
+import time
+
+import numpy as np
+
+from gnumap_tpu.config import MapperConfig
+from gnumap_tpu.index import builder, store
+from gnumap_tpu.io import fastq as io_fastq, sam as sam_io, sgr as sgr_io
+from gnumap_tpu.pipeline import mapper as pl
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="gnumap-tpu",
+        description="TPU-native probabilistic short-read mapper "
+                    "(GNUMAP-capability)")
+    p.add_argument("reads", nargs="*",
+                   help="FASTQ/FASTA/_prb.txt read files")
+    p.add_argument("-g", "--genome", required=True,
+                   help="reference genome FASTA (or prebuilt .npz index)")
+    p.add_argument("-o", "--output", help="output prefix")
+    p.add_argument("-a", "--align-score", type=float, default=0.9,
+                   help="retain loci scoring >= a * max score (ref -a)")
+    p.add_argument("-m", "--mer-size", type=int, default=10,
+                   help="seed k-mer length (ref -m)")
+    p.add_argument("-j", "--jump", type=int, default=5,
+                   help="seed stride along the read (ref -j)")
+    p.add_argument("-k", "--max-hits", type=int, default=64,
+                   help="skip seeds with more index hits than this")
+    p.add_argument("-q", "--max-candidates", type=int, default=128,
+                   help="candidate loci cap per read+strand")
+    p.add_argument("--gap-open", type=float, default=4.0)
+    p.add_argument("--gap-extend", type=float, default=1.0)
+    p.add_argument("--match", type=float, default=1.0)
+    p.add_argument("--mismatch", type=float, default=-1.0)
+    p.add_argument("-S", "--subst-file", default=None,
+                   help="4x4 whitespace substitution matrix file (ref -S)")
+    p.add_argument("-b", "--bisulfite", action="store_true",
+                   help="bisulfite C->T asymmetric scoring (GNUMAP-bs)")
+    p.add_argument("--snp", action="store_true",
+                   help="per-base tallies + SNP p-values (GNUMAP-SNP)")
+    p.add_argument("-B", "--batch-size", type=int, default=2048)
+    p.add_argument("-L", "--max-read-len", type=int, default=128)
+    p.add_argument("--no-sam", action="store_true")
+    p.add_argument("--no-sgr", action="store_true")
+    p.add_argument("--save-index", default=None,
+                   help="write the built index to this .npz and exit")
+    p.add_argument("--align-impl", choices=["jnp", "pallas"], default="jnp")
+    p.add_argument("-v", "--verbose", action="store_true",
+                   help="per-batch JSONL stats on stderr (ref -v)")
+    return p
+
+
+def load_subst(path: str):
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line and not line.startswith("#"):
+                rows.append(tuple(float(x) for x in line.split()))
+    if len(rows) != 4 or any(len(r) != 4 for r in rows):
+        raise SystemExit("substitution file must be a 4x4 matrix")
+    return tuple(rows)
+
+
+def config_from_args(args) -> MapperConfig:
+    return MapperConfig(
+        mer_size=args.mer_size, seed_jump=args.jump,
+        max_hits_per_seed=args.max_hits, max_candidates=args.max_candidates,
+        match_score=args.match, mismatch_score=args.mismatch,
+        gap_open=args.gap_open, gap_extend=args.gap_extend,
+        align_score_ratio=args.align_score,
+        bisulfite=args.bisulfite, snp_mode=args.snp,
+        subst_matrix=load_subst(args.subst_file) if args.subst_file else None,
+        max_read_len=args.max_read_len, batch_size=args.batch_size,
+        sam_out=not args.no_sam, sgr_out=not args.no_sgr,
+        sgrex_out=args.snp)
+
+
+def read_stream(paths, cfg):
+    its = []
+    for path in paths:
+        if path.endswith(("_prb.txt", ".prb")):
+            its.append(io_fastq.iter_prb(path, cfg))
+        elif path.endswith((".fa", ".fasta")):
+            its.append(io_fastq.iter_fasta_reads(path, cfg))
+        else:
+            its.append(io_fastq.iter_fastq(path, cfg))
+    return itertools.chain(*its)
+
+
+def main(argv=None) -> int:
+    args = build_arg_parser().parse_args(argv)
+    if not args.save_index and (not args.reads or not args.output):
+        raise SystemExit("reads and -o/--output are required unless "
+                         "--save-index is given")
+    cfg = config_from_args(args)
+    t0 = time.perf_counter()
+    if args.genome.endswith(".npz"):
+        genome, index = store.load_index(args.genome)
+        if index.mer_size != cfg.mer_size:
+            raise SystemExit(
+                f"index mer_size {index.mer_size} != -m {cfg.mer_size}")
+    else:
+        genome = builder.Genome.from_fasta(args.genome)
+        index = builder.build_index(genome, cfg)
+    t_index = time.perf_counter() - t0
+    if args.save_index:
+        store.save_index(args.save_index, genome, index)
+        print(json.dumps({"event": "index_saved", "path": args.save_index,
+                          "seconds": round(t_index, 3)}))
+        return 0
+
+    m = pl.TpuMapper(genome, index, cfg, align_impl=args.align_impl)
+    sam_path = args.output + ".sam"
+    sam_f = open(sam_path, "w") if cfg.sam_out else None
+    if sam_f:
+        sam_io.write_header(sam_f, genome.names, genome.lengths,
+                            cmd=" ".join(sys.argv))
+    t1 = time.perf_counter()
+    res = pl.map_stream(
+        m, io_fastq.batch_reads(read_stream(args.reads, cfg), cfg),
+        collect_sam=False, sam_file=sam_f)
+    t_map = time.perf_counter() - t1
+    if sam_f:
+        sam_f.close()
+    if cfg.sgr_out:
+        with open(args.output + ".sgr", "w") as f:
+            sgr_io.write_sgr(f, genome, res.coverage, cfg.min_coverage_emit)
+    if cfg.sgrex_out and res.tallies is not None:
+        from gnumap_tpu.posterior import snp
+        pvals = snp.snp_pvalues(genome.codes, res.coverage, res.tallies)
+        with open(args.output + ".sgrex", "w") as f:
+            sgr_io.write_sgrex(f, genome, res.coverage, res.tallies, pvals,
+                               cfg.min_coverage_emit)
+    s = res.stats
+    print(json.dumps({
+        "event": "done", "reads": s.n_reads, "mapped": s.n_mapped,
+        "multi_mapped": s.n_multi, "candidates": s.n_candidates,
+        "dp_cells": s.dp_cells, "index_s": round(t_index, 3),
+        "map_s": round(t_map, 3),
+        "reads_per_s": round(s.n_reads / max(t_map, 1e-9), 1),
+        "dp_cells_per_s": round(s.dp_cells / max(t_map, 1e-9), 1),
+        "device_s": round(s.device_s, 3), "host_s": round(s.host_s, 3)}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,103 @@
+"""Genome model + seed index, TPU-native.
+
+Re-design of the reference's ``Genome``/``GenomeMem`` hash index (SURVEY.md §1
+L1, §3.2 [REPO?]): the pointer-chasing k-mer hash table becomes **two dense
+arrays** (CSR layout) so lookup is a vectorized gather on device:
+
+    bucket_start : int32[4^m + 1]   prefix offsets per k-mer code
+    positions    : int32[n_valid]   genome offsets, grouped by k-mer code
+
+The genome itself is a dense int8 code array (A=0..T=3, N=4) concatenated
+over contigs with N spacers — gather-friendly, no bit unpacking on the
+compute path.  A 2-bit packed copy is used only for on-disk storage
+(index/store.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+import numpy as np
+
+from gnumap_tpu.config import BASE_N, MapperConfig
+from gnumap_tpu.core import packing
+
+SPACER_N = 64  # must match oracle.SPACER_N
+
+
+@dataclasses.dataclass
+class Genome:
+    """Concatenated contig codes + contig table (reference contig table,
+    SURVEY.md §3.2)."""
+    codes: np.ndarray              # int8[G] concatenated with N spacers
+    names: List[str]
+    starts: np.ndarray             # int64[n_contigs]
+    lengths: np.ndarray            # int64[n_contigs]
+
+    @classmethod
+    def from_contigs(cls, contigs: List[Tuple[str, str]]) -> "Genome":
+        names, starts, lengths, parts = [], [], [], []
+        off = 0
+        spacer = np.full(SPACER_N, BASE_N, dtype=np.int8)
+        for name, seq in contigs:
+            c = packing.encode(seq) if isinstance(seq, (str, bytes)) \
+                else np.asarray(seq, dtype=np.int8)
+            names.append(name)
+            starts.append(off)
+            lengths.append(len(c))
+            parts.append(c)
+            parts.append(spacer)
+            off += len(c) + SPACER_N
+        codes = (np.concatenate(parts) if parts else np.zeros(0, np.int8))
+        return cls(codes, names, np.asarray(starts, np.int64),
+                   np.asarray(lengths, np.int64))
+
+    @classmethod
+    def from_fasta(cls, path: str) -> "Genome":
+        from gnumap_tpu.io import fastq as io_fastq
+        return cls.from_contigs(io_fastq.read_fasta(path))
+
+    def locate(self, pos) -> Tuple[np.ndarray, np.ndarray]:
+        """Global offsets -> (contig index, contig-local 0-based offset).
+        Vectorized; accepts scalars or arrays."""
+        pos = np.asarray(pos, dtype=np.int64)
+        idx = np.searchsorted(self.starts, pos, side="right") - 1
+        return idx, pos - self.starts[idx]
+
+
+@dataclasses.dataclass
+class CsrIndex:
+    """Dense-array k-mer seed index (hash-table-as-two-arrays)."""
+    mer_size: int
+    bucket_start: np.ndarray       # int32[4^m + 1]
+    positions: np.ndarray          # int32[n_valid], grouped by k-mer
+
+    @property
+    def n_buckets(self) -> int:
+        return 4 ** self.mer_size
+
+    def lookup(self, kmer: int) -> np.ndarray:
+        s, e = self.bucket_start[kmer], self.bucket_start[kmer + 1]
+        return self.positions[s:e]
+
+
+def build_index(genome: Genome, cfg: MapperConfig) -> CsrIndex:
+    """Single-pass vectorized build (reference loop in SURVEY.md §3.2 done
+    with bincount + stable argsort instead of hash insertions).
+
+    Positions within each bucket are in ascending genome order (stable sort
+    over the position-ordered stream) — the frozen candidate ordering.
+    """
+    m = cfg.mer_size
+    kmers, valid = packing.kmer_codes(genome.codes, m)
+    vk = kmers[valid].astype(np.int64)
+    vpos = np.nonzero(valid)[0].astype(np.int32)
+    counts = np.bincount(vk, minlength=4 ** m)
+    bucket_start = np.zeros(4 ** m + 1, dtype=np.int64)
+    np.cumsum(counts, out=bucket_start[1:])
+    order = np.argsort(vk, kind="stable")
+    positions = vpos[order]
+    if bucket_start[-1] > np.iinfo(np.int32).max:
+        raise ValueError("genome too large for int32 CSR offsets")
+    return CsrIndex(m, bucket_start.astype(np.int32), positions)

@@ -1,0 +1,69 @@
+"""Index persistence: save/load the packed genome + CSR seed table.
+
+Reference analog: GNUMAP's optionally saved genome index (SURVEY.md §5
+"Checkpoint / resume": the only persistent artifact).  Stored as compressed
+npz — genome codes 2-bit packed with an N bitmask, CSR arrays verbatim.
+Config 5 (sharded human-genome index) shards with ``shard_index``.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+from gnumap_tpu.config import BASE_N
+from gnumap_tpu.core import packing
+from gnumap_tpu.index.builder import CsrIndex, Genome
+
+_FORMAT_VERSION = 1
+
+
+def save_index(path: str, genome: Genome, index: CsrIndex) -> None:
+    n_mask = np.packbits(genome.codes == BASE_N)
+    np.savez_compressed(
+        path if path.endswith(".npz") else path + ".npz",
+        version=np.int64(_FORMAT_VERSION),
+        packed=packing.pack_2bit(genome.codes),
+        n_mask=n_mask,
+        n_bases=np.int64(len(genome.codes)),
+        names=np.array(genome.names, dtype=object),
+        starts=genome.starts, lengths=genome.lengths,
+        mer_size=np.int64(index.mer_size),
+        bucket_start=index.bucket_start, positions=index.positions)
+
+
+def load_index(path: str) -> Tuple[Genome, CsrIndex]:
+    z = np.load(path, allow_pickle=True)
+    if int(z["version"]) != _FORMAT_VERSION:
+        raise ValueError(f"unsupported index version {int(z['version'])}")
+    n = int(z["n_bases"])
+    codes = packing.unpack_2bit(z["packed"], n)
+    nm = np.unpackbits(z["n_mask"])[:n].astype(bool)
+    codes[nm] = BASE_N
+    genome = Genome(codes, [str(x) for x in z["names"]],
+                    z["starts"], z["lengths"])
+    index = CsrIndex(int(z["mer_size"]), z["bucket_start"], z["positions"])
+    return genome, index
+
+
+def shard_index(index: CsrIndex, n_shards: int) -> List[CsrIndex]:
+    """Split the CSR table by k-mer-code range into n_shards equal bucket
+    ranges (the mesh axis "index" layout, SURVEY.md §2 TP row).
+
+    Shard s owns k-mer codes [s*Q, (s+1)*Q); a query is routed to shard
+    ``kmer // Q`` (static modulo arithmetic — no hashing, so routing is a
+    cheap integer divide on device).
+    """
+    nb = index.n_buckets
+    if nb % n_shards:
+        raise ValueError("n_buckets must divide evenly across shards")
+    Q = nb // n_shards
+    shards = []
+    for s in range(n_shards):
+        lo_b, hi_b = s * Q, (s + 1) * Q
+        lo, hi = index.bucket_start[lo_b], index.bucket_start[hi_b]
+        bs = (index.bucket_start[lo_b:hi_b + 1] - lo).astype(np.int32)
+        shards.append(CsrIndex(index.mer_size, bs,
+                               index.positions[lo:hi].copy()))
+    return shards

@@ -1,0 +1,43 @@
+"""SAM emission (reference output layer, SURVEY.md §1 L5).
+
+One record per retained locus, carrying the GNUMAP posterior weight: MAPQ is
+derived from the posterior (frozen formula below) and the exact values ride
+in tags ``AS:i`` (integer fixed-point alignment score) and ``XP:f``
+(posterior weight), so downstream conformance checks don't depend on MAPQ
+rounding.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import IO, List, Sequence
+
+from gnumap_tpu.config import SCORE_ONE
+
+
+def mapq_from_weight(w: float) -> int:
+    """FROZEN: phred of posterior error, capped at 60; 60 for unique hits."""
+    if w >= 1.0 - 1e-12:
+        return 60
+    return max(0, min(60, int(round(-10.0 * math.log10(max(1e-12, 1.0 - w))))))
+
+
+def write_header(f: IO[str], names: Sequence[str], lengths: Sequence[int],
+                 cmd: str = "gnumap-tpu") -> None:
+    f.write("@HD\tVN:1.6\tSO:unsorted\n")
+    for n, l in zip(names, lengths):
+        f.write(f"@SQ\tSN:{n}\tLN:{int(l)}\n")
+    f.write(f"@PG\tID:gnumap-tpu\tPN:gnumap-tpu\tCL:{cmd}\n")
+
+
+def record(qname: str, flag: int, rname: str, pos0: int, mapq: int,
+           cigar: str, seq: str, qual: str, score_q: int, weight: float
+           ) -> str:
+    """pos0 is 0-based; SAM POS is 1-based."""
+    return (f"{qname}\t{flag}\t{rname}\t{pos0 + 1}\t{mapq}\t{cigar}\t*\t0\t0"
+            f"\t{seq}\t{qual}\tAS:i:{score_q}\tXS:f:{score_q / SCORE_ONE:.4f}"
+            f"\tXP:f:{weight:.6f}\n")
+
+
+def unmapped_record(qname: str, seq: str, qual: str) -> str:
+    return f"{qname}\t4\t*\t0\t0\t*\t*\t0\t0\t{seq}\t{qual}\n"

@@ -219,7 +219,10 @@ def map_read(codes: np.ndarray, pwm_q: np.ndarray, gen: OracleGenome,
     """Map one read; returns retained hits with posterior weights."""
     S_plus, S_minus = scoring.matrices_for_mode(cfg)
     L = len(codes)
-    W = L + 2 * cfg.gap_slack
+    # FROZEN: window width uses the configured max read length (not the
+    # actual read length) so batched fixed-shape scoring sees the exact same
+    # candidate windows as this oracle.
+    W = cfg.max_read_len + 2 * cfg.gap_slack
     hits: List[Hit] = []
     thresholds = {}
     for strand, S_q in (("+", S_plus), ("-", S_minus)):

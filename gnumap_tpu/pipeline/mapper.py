@@ -1,0 +1,352 @@
+"""End-to-end batch mapper: seed -> gather windows -> DP -> posterior -> emit.
+
+TPU-native re-design of the reference worker-thread loop (SURVEY.md §3.1):
+the per-read Python/C++ loop becomes one jitted device program over a fixed
+(batch, strand, candidate) lattice —
+
+  device (jit, static shapes):
+    * strand expansion (reverse complement of codes + PWM, length-aware)
+    * integer emission tables  E = PWM @ S  per strand (MXU)
+    * seeding: vectorized k-mer codes -> CSR gather -> candidate anchors,
+      sort-dedupe-cap per read (two sorts replace the hash-set of the
+      reference's per-read candidate dedupe)
+    * banded-window gather from the dense genome + batched affine NW scores
+      (nw_ref.nw_scores_multi for M1; Pallas kernel from M2)
+  host (NumPy, exact integer/float64 math):
+    * retention threshold ceil(a * max_score) (float64, matches oracle)
+    * traceback of retained loci only (few per read), dedupe by final
+      (strand, pos), posterior weight normalization  w_i = s_i / sum s_j
+    * coverage / SNP-tally scatter-add, SAM record formatting
+
+The retained-loci-only traceback is the "rescoring winners" design from
+SURVEY.md §7: the hot device loop stays store-light (scores only).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnumap_tpu.align import nw_ref, scoring
+from gnumap_tpu.config import NEG_INF, MapperConfig
+from gnumap_tpu.core import packing, pwm as pwm_mod
+from gnumap_tpu.index.builder import CsrIndex, Genome
+from gnumap_tpu.io import sam as sam_io
+from gnumap_tpu.io.fastq import ReadBatch
+from gnumap_tpu.oracle import oracle
+
+SENTINEL = np.iinfo(np.int32).max
+
+
+@dataclasses.dataclass
+class ReadHit:
+    strand: str
+    pos: int            # global 0-based genome offset of first aligned base
+    score: int
+    weight: float
+    cigar: str
+    ref_len: int
+
+
+@dataclasses.dataclass
+class BatchStats:
+    n_reads: int = 0
+    n_mapped: int = 0
+    n_multi: int = 0
+    n_candidates: int = 0
+    dp_cells: int = 0
+    device_s: float = 0.0
+    host_s: float = 0.0
+
+
+class TpuMapper:
+    """Holds the device-resident genome/index and the compiled map program."""
+
+    def __init__(self, genome: Genome, index: CsrIndex, cfg: MapperConfig,
+                 align_impl: str = "jnp"):
+        if index.mer_size != cfg.mer_size:
+            raise ValueError("index mer_size != cfg.mer_size")
+        self.genome = genome
+        self.index = index
+        self.cfg = cfg
+        self.align_impl = align_impl
+        S_plus, S_minus = scoring.matrices_for_mode(cfg)
+        self.S_plus_np, self.S_minus_np = S_plus, S_minus
+        # device-resident arrays
+        self.g_codes = jnp.asarray(genome.codes)
+        self.bucket_start = jnp.asarray(index.bucket_start)
+        self.positions = jnp.asarray(index.positions)
+        self.S_plus = jnp.asarray(S_plus)
+        self.S_minus = jnp.asarray(S_minus)
+        L, m = cfg.max_read_len, cfg.mer_size
+        self.offsets = np.arange(0, L - m + 1, cfg.seed_jump, dtype=np.int32)
+        # candidate-chunk size for the DP: keeps (B, ck, W) state in budget
+        self.cand_chunk = max(1, min(16, cfg.max_candidates))
+        while cfg.max_candidates % self.cand_chunk:
+            self.cand_chunk -= 1
+        self._map_jit = jax.jit(self._device_map)
+
+    # ------------------------------------------------------------------
+    # Device program
+    # ------------------------------------------------------------------
+    def _revcomp_batch(self, codes, pwm_q, lens):
+        """Length-aware reverse complement so the rc read still occupies
+        positions [0, len) with N/zero padding at the tail."""
+        B, L = codes.shape
+        ar = jnp.arange(L, dtype=jnp.int32)
+        src = jnp.clip(lens[:, None] - 1 - ar[None, :], 0, L - 1)
+        in_read = ar[None, :] < lens[:, None]
+        g = jnp.take_along_axis(codes.astype(jnp.int32), src, axis=1)
+        rc_codes = jnp.where(in_read,
+                             jnp.where(g < 4, 3 - g, 4), 4).astype(jnp.int8)
+        pw = jnp.take_along_axis(pwm_q, src[:, :, None], axis=1)
+        rc_pwm = jnp.where(in_read[:, :, None], pw[:, :, ::-1], 0)
+        return rc_codes, rc_pwm
+
+    def _seed(self, codes2):
+        """Candidate anchors per (read x strand): int32[B2, C] + valid mask."""
+        cfg = self.cfg
+        m = cfg.mer_size
+        offs = self.offsets
+        code4 = jnp.where(codes2 == 4, 0, codes2).astype(jnp.int32)
+        isn = codes2 == 4
+        km = jnp.zeros(codes2.shape[:1] + offs.shape, dtype=jnp.int32)
+        bad = jnp.zeros_like(km, dtype=bool)
+        for k in range(m):
+            km = km * 4 + code4[:, offs + k]
+            bad = bad | isn[:, offs + k]
+        start = self.bucket_start[km]
+        count = self.bucket_start[km + 1] - start
+        seed_ok = (~bad) & (count > 0) & (count <= cfg.max_hits_per_seed)
+        caph = cfg.max_hits_per_seed
+        ar = jnp.arange(caph, dtype=jnp.int32)
+        hit_idx = start[:, :, None] + ar[None, None, :]
+        hit_ok = seed_ok[:, :, None] & (ar[None, None, :] < count[:, :, None])
+        npos = self.positions.shape[0]
+        pos = self.positions[jnp.clip(hit_idx, 0, max(npos - 1, 0))]
+        cand = pos - offs[None, :, None]
+        cand = jnp.where(hit_ok, cand, SENTINEL)
+        flat = cand.reshape(cand.shape[0], -1)
+        s1 = jnp.sort(flat, axis=1)
+        uniq = jnp.concatenate(
+            [jnp.ones_like(s1[:, :1], dtype=bool), s1[:, 1:] != s1[:, :-1]],
+            axis=1)
+        s2 = jnp.sort(jnp.where(uniq, s1, SENTINEL), axis=1)
+        C = cfg.max_candidates
+        if s2.shape[1] < C:
+            s2 = jnp.pad(s2, ((0, 0), (0, C - s2.shape[1])),
+                         constant_values=SENTINEL)
+        cands = s2[:, :C]
+        return cands, cands != SENTINEL
+
+    def _windows_for(self, cand_chunk):
+        """Gather genome windows for a chunk of candidates; OOB -> N."""
+        cfg = self.cfg
+        W = cfg.max_read_len + 2 * cfg.gap_slack
+        G = self.g_codes.shape[0]
+        idx = (cand_chunk[:, :, None].astype(jnp.int32) - cfg.gap_slack
+               + jnp.arange(W, dtype=jnp.int32)[None, None, :])
+        oob = (idx < 0) | (idx >= G)
+        win = self.g_codes[jnp.clip(idx, 0, G - 1)].astype(jnp.int32)
+        return jnp.where(oob, 4, win)
+
+    def _device_map(self, codes, pwm_q, lens):
+        cfg = self.cfg
+        rc_codes, rc_pwm = self._revcomp_batch(codes, pwm_q, lens)
+        codes2 = jnp.concatenate([codes, rc_codes], axis=0)
+        emis_p = jnp.matmul(pwm_q, self.S_plus,
+                            preferred_element_type=jnp.int32)
+        emis_m = jnp.matmul(rc_pwm, self.S_minus,
+                            preferred_element_type=jnp.int32)
+        emis2 = jnp.concatenate([emis_p, emis_m], axis=0)
+        max_sc = nw_ref.max_read_scores(emis2)
+        cands, valid = self._seed(codes2)
+        ck = self.cand_chunk
+        nchunk = cfg.max_candidates // ck
+        cc = jnp.transpose(
+            cands.reshape(cands.shape[0], nchunk, ck), (1, 0, 2))
+
+        open_q, ext_q = cfg.gap_open_q(), cfg.gap_extend_q()
+
+        lens2 = jnp.concatenate([lens, lens], axis=0)
+
+        def chunk_fn(cand_chunk):
+            win = self._windows_for(jnp.where(cand_chunk == SENTINEL, 0,
+                                              cand_chunk))
+            return nw_ref.nw_scores_multi(emis2, win, lens2, open_q, ext_q)
+
+        scores = jax.lax.map(chunk_fn, cc)              # (nchunk, B2, ck)
+        scores = jnp.transpose(scores, (1, 0, 2)).reshape(cands.shape)
+        scores = jnp.where(valid, scores, NEG_INF)
+        return cands, valid, scores, max_sc
+
+    # ------------------------------------------------------------------
+    # Host finishing
+    # ------------------------------------------------------------------
+    def finish_read(self, codes_np, pwm_np, strand_rows, cfg
+                    ) -> List[ReadHit]:
+        """Threshold + traceback + dedupe + posterior for one read.
+
+        strand_rows: {strand: (cands, valid, scores, max_sc, emis_np)}
+        """
+        retained: List[Tuple[str, int, int]] = []
+        for strand, (cands, valid, scs, max_sc, _) in strand_rows.items():
+            thr = math.ceil(cfg.align_score_ratio * float(max_sc))
+            keep = valid & (scs >= thr) & (scs > 0)
+            for c in np.nonzero(keep)[0]:
+                retained.append((strand, int(cands[c]), int(scs[c])))
+        if not retained:
+            return []
+        W = cfg.max_read_len + 2 * cfg.gap_slack
+        best: Dict[Tuple[str, int], ReadHit] = {}
+        for strand, cand, score in retained:
+            emis_np = strand_rows[strand][4]
+            win_start = cand - cfg.gap_slack
+            window = _window_np(self.genome.codes, win_start, W)
+            sc2, pos_in_w, cigar, ref_len = oracle.nw_align(
+                emis_np, window, cfg, traceback=True)
+            pos = win_start + pos_in_w
+            key = (strand, pos)
+            if key not in best or sc2 > best[key].score:
+                best[key] = ReadHit(strand, pos, sc2, 0.0, cigar, ref_len)
+        hits = list(best.values())
+        total = float(sum(h.score for h in hits))
+        for h in hits:
+            h.weight = h.score / total
+        hits.sort(key=lambda h: (h.pos, 0 if h.strand == "+" else 1))
+        return hits
+
+    def map_batch(self, batch: ReadBatch,
+                  stats: Optional[BatchStats] = None) -> List[List[ReadHit]]:
+        cfg = self.cfg
+        t0 = time.perf_counter()
+        cands, valid, scores, max_sc = jax.device_get(
+            self._map_jit(jnp.asarray(batch.codes), jnp.asarray(batch.pwm_q),
+                          jnp.asarray(batch.lens)))
+        t1 = time.perf_counter()
+        B = batch.codes.shape[0]
+        out: List[List[ReadHit]] = []
+        # host emissions computed lazily per strand only for reads w/ survivors
+        for b in range(batch.n):
+            rows = {}
+            need_tb = False
+            for si, strand in ((0, "+"), (1, "-")):
+                r = b + si * B
+                thr = math.ceil(cfg.align_score_ratio * float(max_sc[r]))
+                if np.any(valid[r] & (scores[r] >= thr) & (scores[r] > 0)):
+                    need_tb = True
+                rows[strand] = [cands[r], valid[r], scores[r], max_sc[r], None]
+            if need_tb:
+                L = int(batch.lens[b])
+                c_np = batch.codes[b, :L]
+                p_np = batch.pwm_q[b, :L]
+                rows["+"][4] = scoring.emission_int(p_np, self.S_plus_np)
+                rows["-"][4] = scoring.emission_int(
+                    pwm_mod.pwm_revcomp(p_np), self.S_minus_np)
+                out.append(self.finish_read(
+                    c_np, p_np, {k: tuple(v) for k, v in rows.items()}, cfg))
+            else:
+                out.append([])
+        t2 = time.perf_counter()
+        if stats is not None:
+            W = cfg.max_read_len + 2 * cfg.gap_slack
+            stats.n_reads += batch.n
+            stats.n_mapped += sum(1 for h in out if h)
+            stats.n_multi += sum(1 for h in out if len(h) > 1)
+            stats.n_candidates += int(valid.sum())
+            stats.dp_cells += int(valid.sum()) * cfg.max_read_len * W
+            stats.device_s += t1 - t0
+            stats.host_s += t2 - t1
+        return out
+
+
+def _window_np(g_codes: np.ndarray, start: int, width: int) -> np.ndarray:
+    out = np.full(width, 4, dtype=np.int8)
+    lo, hi = max(start, 0), min(start + width, len(g_codes))
+    if hi > lo:
+        out[lo - start:hi - start] = g_codes[lo:hi]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Streaming driver: map a read stream, accumulate outputs
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class MapResult:
+    coverage: np.ndarray
+    tallies: Optional[np.ndarray]
+    sam_lines: List[str]
+    stats: BatchStats
+
+
+def map_stream(mapper: TpuMapper, batches: Iterable[ReadBatch],
+               collect_sam: bool = True, sam_file=None) -> MapResult:
+    cfg = mapper.cfg
+    gen = mapper.genome
+    coverage = np.zeros(len(gen.codes), dtype=np.float64)
+    tallies = (np.zeros((len(gen.codes), 4), dtype=np.float64)
+               if cfg.snp_mode else None)
+    sam_lines: List[str] = []
+    stats = BatchStats()
+
+    def emit(line: str):
+        if sam_file is not None:
+            sam_file.write(line)
+        elif collect_sam:
+            sam_lines.append(line)
+
+    for batch in batches:
+        hits_per_read = mapper.map_batch(batch, stats)
+        for b, hits in enumerate(hits_per_read):
+            L = int(batch.lens[b])
+            codes = batch.codes[b, :L]
+            quals = batch.quals[b, :L]
+            seq = packing.decode(codes)
+            qual = "".join(chr(int(q) + 33) for q in quals)
+            if not hits:
+                if cfg.sam_out:
+                    emit(sam_io.unmapped_record(batch.names[b], seq, qual))
+                continue
+            pwm_np = batch.pwm_q[b, :L]
+            for hi, h in enumerate(hits):
+                coverage[h.pos:h.pos + h.ref_len] += h.weight
+                if tallies is not None:
+                    _accumulate_tallies(tallies, h, pwm_np)
+                if cfg.sam_out:
+                    ci, off = gen.locate(h.pos)
+                    flag = (16 if h.strand == "-" else 0) | (
+                        256 if hi > 0 else 0)
+                    if h.strand == "-":
+                        oseq = packing.decode(packing.revcomp(codes))
+                        oqual = qual[::-1]
+                    else:
+                        oseq, oqual = seq, qual
+                    emit(sam_io.record(
+                        batch.names[b], flag, gen.names[int(ci)], int(off),
+                        sam_io.mapq_from_weight(h.weight), h.cigar,
+                        oseq, oqual, h.score, h.weight))
+    return MapResult(coverage, tallies, sam_lines, stats)
+
+
+def _accumulate_tallies(tallies: np.ndarray, h: ReadHit,
+                        pwm_np: np.ndarray) -> None:
+    from gnumap_tpu.config import PWM_SCALE
+    p_s = pwm_np if h.strand == "+" else pwm_mod.pwm_revcomp(pwm_np)
+    gp, i = h.pos, 0
+    for num, op in oracle._iter_cigar(h.cigar):
+        if op == "M":
+            tallies[gp:gp + num] += h.weight * (
+                p_s[i:i + num].astype(np.float64) / PWM_SCALE)
+            gp += num
+            i += num
+        elif op == "D":
+            gp += num
+        elif op == "I":
+            i += num

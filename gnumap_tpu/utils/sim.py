@@ -98,4 +98,5 @@ def write_fastq(path: str, reads: List[SimRead]):
 def parse_truth(name: str) -> Tuple[str, int, str]:
     """Read name -> (contig, true_pos, strand) for self-checking accuracy."""
     parts = name.split("_")
-    return parts[2], int(parts[3]), parts[4]
+    # contig names may themselves contain underscores; parse from the right
+    return "_".join(parts[2:-2]), int(parts[-2]), parts[-1]
