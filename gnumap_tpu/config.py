@@ -27,6 +27,9 @@ PWM_SCALE = 1 << 12  # 4096
 S_SCALE = 1 << 6  # 64
 # One "score unit" (a match score of 1.0) therefore equals PWM_SCALE * S_SCALE.
 SCORE_ONE = PWM_SCALE * S_SCALE  # 262144
+# Window starts are floor-aligned to this many bases (must equal the 4-bit
+# packing factor in align/nw_pallas.py).
+WINDOW_ALIGN = 8
 # Sentinel for -infinity in int32 DP cells.  Chosen so that NEG_INF plus any
 # legal emission/gap term stays far from int32 overflow.
 NEG_INF = -(1 << 29)
@@ -94,3 +97,12 @@ class MapperConfig:
 
     def gap_extend_q(self) -> int:
         return int(round(self.gap_extend * SCORE_ONE))
+
+    # FROZEN candidate-window rule (shared by oracle, jnp and Pallas paths;
+    # see align/nw_pallas.py docstring): starts floor-align to WINDOW_ALIGN
+    # bases so windows can be fetched as whole 4-bit-packed words.
+    def window_width(self) -> int:
+        return self.max_read_len + 2 * self.gap_slack + WINDOW_ALIGN
+
+    def window_start(self, cand):
+        return ((cand - self.gap_slack) // WINDOW_ALIGN) * WINDOW_ALIGN

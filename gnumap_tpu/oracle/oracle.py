@@ -31,7 +31,9 @@ FROZEN SEMANTICS (change any of these => regenerate all golden files):
     strands (float64).
   * Coverage: +w at every genome position consumed by the alignment (M and D
     columns).  SNP tallies: for M columns, tallies[p,b] += w * pwm[i,b]/SCALE.
-  * Window: genome[cand-slack : cand-slack+L+2*slack], out-of-range -> N.
+  * Window [FROZEN, shared with the TPU kernels via MapperConfig]:
+    start = floor((cand - gap_slack)/WINDOW_ALIGN)*WINDOW_ALIGN,
+    width = max_read_len + 2*gap_slack + WINDOW_ALIGN; out-of-range -> N.
 """
 
 from __future__ import annotations
@@ -220,9 +222,9 @@ def map_read(codes: np.ndarray, pwm_q: np.ndarray, gen: OracleGenome,
     S_plus, S_minus = scoring.matrices_for_mode(cfg)
     L = len(codes)
     # FROZEN: window width uses the configured max read length (not the
-    # actual read length) so batched fixed-shape scoring sees the exact same
-    # candidate windows as this oracle.
-    W = cfg.max_read_len + 2 * cfg.gap_slack
+    # actual read length) and starts floor-align to WINDOW_ALIGN, so batched
+    # fixed-shape scoring sees the exact same candidate windows.
+    W = cfg.window_width()
     hits: List[Hit] = []
     thresholds = {}
     for strand, S_q in (("+", S_plus), ("-", S_minus)):
@@ -234,7 +236,7 @@ def map_read(codes: np.ndarray, pwm_q: np.ndarray, gen: OracleGenome,
         max_s = int(scoring.max_read_score(emis[None])[0])
         thresholds[strand] = math.ceil(cfg.align_score_ratio * max_s)
         for cand in candidates_for(c_s, index, cfg):
-            win_start = cand - cfg.gap_slack
+            win_start = cfg.window_start(cand)
             window = gen.window(win_start, W)
             score = nw_align(emis, window, cfg)
             if score >= thresholds[strand] and score > 0:
@@ -252,7 +254,7 @@ def map_read(codes: np.ndarray, pwm_q: np.ndarray, gen: OracleGenome,
         else:
             p_s = pwm_mod.pwm_revcomp(pwm_q)
         emis = scoring.emission_int(p_s, S_by[h.strand])
-        win_start = h.gpos - cfg.gap_slack
+        win_start = cfg.window_start(h.gpos)
         window = gen.window(win_start, W)
         _, pos_in_window, cigar, ref_len = nw_align(emis, window, cfg,
                                                     traceback=True)

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gnumap_tpu.align import nw_ref, scoring
+from gnumap_tpu.align import nw_pallas, nw_ref, scoring
 from gnumap_tpu.config import NEG_INF, MapperConfig
 from gnumap_tpu.core import packing, pwm as pwm_mod
 from gnumap_tpu.index.builder import CsrIndex, Genome
@@ -86,6 +86,14 @@ class TpuMapper:
         self.S_minus = jnp.asarray(S_minus)
         L, m = cfg.max_read_len, cfg.mer_size
         self.offsets = np.arange(0, L - m + 1, cfg.seed_jump, dtype=np.int32)
+        # Pallas path: 4-bit packed genome image + interpret fallback on CPU
+        if align_impl == "pallas":
+            self.g_words = jnp.asarray(
+                nw_pallas.pad_genome_words(genome.codes, cfg.window_width()))
+            self._interpret = jax.default_backend() == "cpu"
+        else:
+            self.g_words = None
+            self._interpret = False
         # candidate-chunk size for the DP: keeps (B, ck, W) state in budget
         self.cand_chunk = max(1, min(16, cfg.max_candidates))
         while cfg.max_candidates % self.cand_chunk:
@@ -148,9 +156,9 @@ class TpuMapper:
     def _windows_for(self, cand_chunk):
         """Gather genome windows for a chunk of candidates; OOB -> N."""
         cfg = self.cfg
-        W = cfg.max_read_len + 2 * cfg.gap_slack
+        W = cfg.window_width()
         G = self.g_codes.shape[0]
-        idx = (cand_chunk[:, :, None].astype(jnp.int32) - cfg.gap_slack
+        idx = (cfg.window_start(cand_chunk.astype(jnp.int32))[:, :, None]
                + jnp.arange(W, dtype=jnp.int32)[None, None, :])
         oob = (idx < 0) | (idx >= G)
         win = self.g_codes[jnp.clip(idx, 0, G - 1)].astype(jnp.int32)
@@ -176,13 +184,22 @@ class TpuMapper:
 
         lens2 = jnp.concatenate([lens, lens], axis=0)
 
-        def chunk_fn(cand_chunk):
-            win = self._windows_for(jnp.where(cand_chunk == SENTINEL, 0,
-                                              cand_chunk))
-            return nw_ref.nw_scores_multi(emis2, win, lens2, open_q, ext_q)
+        if self.align_impl == "pallas":
+            emis2_t = jnp.transpose(emis2, (0, 2, 1))
+            scores = nw_pallas.nw_scores_pallas(
+                emis2_t, cands, lens2, self.g_words,
+                L=cfg.max_read_len, W=cfg.window_width(),
+                slack=cfg.gap_slack, open_q=open_q, ext_q=ext_q,
+                interpret=self._interpret)
+        else:
+            def chunk_fn(cand_chunk):
+                win = self._windows_for(jnp.where(cand_chunk == SENTINEL, 0,
+                                                  cand_chunk))
+                return nw_ref.nw_scores_multi(emis2, win, lens2, open_q,
+                                              ext_q)
 
-        scores = jax.lax.map(chunk_fn, cc)              # (nchunk, B2, ck)
-        scores = jnp.transpose(scores, (1, 0, 2)).reshape(cands.shape)
+            scores = jax.lax.map(chunk_fn, cc)          # (nchunk, B2, ck)
+            scores = jnp.transpose(scores, (1, 0, 2)).reshape(cands.shape)
         scores = jnp.where(valid, scores, NEG_INF)
         return cands, valid, scores, max_sc
 
@@ -203,11 +220,11 @@ class TpuMapper:
                 retained.append((strand, int(cands[c]), int(scs[c])))
         if not retained:
             return []
-        W = cfg.max_read_len + 2 * cfg.gap_slack
+        W = cfg.window_width()
         best: Dict[Tuple[str, int], ReadHit] = {}
         for strand, cand, score in retained:
             emis_np = strand_rows[strand][4]
-            win_start = cand - cfg.gap_slack
+            win_start = cfg.window_start(cand)
             window = _window_np(self.genome.codes, win_start, W)
             sc2, pos_in_w, cigar, ref_len = oracle.nw_align(
                 emis_np, window, cfg, traceback=True)
@@ -255,7 +272,7 @@ class TpuMapper:
                 out.append([])
         t2 = time.perf_counter()
         if stats is not None:
-            W = cfg.max_read_len + 2 * cfg.gap_slack
+            W = cfg.window_width()
             stats.n_reads += batch.n
             stats.n_mapped += sum(1 for h in out if h)
             stats.n_multi += sum(1 for h in out if len(h) > 1)
