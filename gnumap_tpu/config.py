@@ -30,6 +30,8 @@ SCORE_ONE = PWM_SCALE * S_SCALE  # 262144
 # Window starts are floor-aligned to this many bases (must equal the 4-bit
 # packing factor in align/nw_pallas.py).
 WINDOW_ALIGN = 8
+# Retention-ratio fixed point (see MapperConfig.threshold_for).
+RATIO_BITS = 32
 # Sentinel for -infinity in int32 DP cells.  Chosen so that NEG_INF plus any
 # legal emission/gap term stays far from int32 overflow.
 NEG_INF = -(1 << 29)
@@ -106,3 +108,14 @@ class MapperConfig:
 
     def window_start(self, cand):
         return ((cand - self.gap_slack) // WINDOW_ALIGN) * WINDOW_ALIGN
+
+    # FROZEN retention threshold: ceil(a * max_score) computed in exact
+    # integer arithmetic with a quantized to RATIO_BITS binary digits, so
+    # host NumPy and TPU int64 kernels agree bit-for-bit (float64 is
+    # unavailable on TPU).
+    def ratio_q(self) -> int:
+        return int(round(self.align_score_ratio * (1 << RATIO_BITS)))
+
+    def threshold_for(self, max_score: int) -> int:
+        aq = self.ratio_q()
+        return (aq * int(max_score) + (1 << RATIO_BITS) - 1) >> RATIO_BITS

@@ -1,0 +1,236 @@
+"""Sharded mapper step + coverage all-reduce (SURVEY.md §2 / §5
+"Distributed communication backend").
+
+The reference's MPI layer (read partitioning, genome-partitioned index,
+final MPI_Reduce of coverage — SURVEY.md §3.5) re-designed as XLA
+collectives inside one shard_map'd device program:
+
+  * reads sharded over axis "reads": seeding + DP are embarrassingly
+    parallel per shard (no communication), exactly like the reference's
+    default read-partitioned mode;
+  * index sharded by k-mer range over axis "index" (config 5): every device
+    in an index group holds the same reads block and one CSR shard.  Each
+    device looks up only the k-mers it owns (one integer divide routes a
+    query — k-mer codes are range-partitioned, no hashing) and the hit
+    tables are merged with ONE psum over "index" (+1 encoding so missing
+    hits are the additive identity).  Candidate slots are then split
+    round-robin across the index group so the DP cost is divided by the
+    number of index shards, and scores are re-joined with a tiled
+    all_gather;
+  * coverage arrays merge with psum over both axes (the MPI_Reduce analog,
+    BASELINE.json:5 "cross-host posterior merge").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnumap_tpu.align import nw_pallas, nw_ref, scoring
+from gnumap_tpu.config import NEG_INF, MapperConfig
+from gnumap_tpu.dist.mesh import INDEX_AXIS, READS_AXIS
+from gnumap_tpu.index import store
+from gnumap_tpu.index.builder import CsrIndex, Genome
+from gnumap_tpu.pipeline import mapper as pipeline_mapper
+from gnumap_tpu.pipeline.mapper import (SENTINEL, csr_hits, dedupe_cap,
+                                        seed_kmers, strand_expand)
+
+P = jax.sharding.PartitionSpec
+
+
+class DistMapper:
+    """Sharded device map: reads over "reads", CSR index over "index".
+
+    Host finishing (threshold/traceback/posterior/SAM) reuses
+    TpuMapper.finish logic per reads-shard; in a multi-host deployment each
+    host finishes its own shard and coverage merges via
+    ``allreduce_coverage``.
+    """
+
+    def __init__(self, genome: Genome, index: CsrIndex, cfg: MapperConfig,
+                 mesh: jax.sharding.Mesh, align_impl: str = "jnp"):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.align_impl = align_impl
+        self.genome = genome
+        R = mesh.shape[READS_AXIS]
+        S = mesh.shape[INDEX_AXIS]
+        self.S = S
+        if cfg.max_candidates % (S * 8):
+            raise ValueError("max_candidates must divide by 8*index_shards")
+        L, m = cfg.max_read_len, cfg.mer_size
+        self.offsets = np.arange(0, L - m + 1, cfg.seed_jump, dtype=np.int32)
+        S_plus, S_minus = scoring.matrices_for_mode(cfg)
+        self.n_buckets = index.n_buckets
+
+        repl = jax.sharding.NamedSharding(mesh, P())
+        idx_shard0 = jax.sharding.NamedSharding(mesh, P(INDEX_AXIS))
+        if S > 1:
+            shards = store.shard_index(index, S)
+            pmax = max(len(sh.positions) for sh in shards)
+            bs = np.stack([sh.bucket_start for sh in shards])
+            ps = np.stack([np.pad(sh.positions,
+                                  (0, pmax - len(sh.positions)))
+                           for sh in shards])
+            self.bucket_start = jax.device_put(bs, idx_shard0)
+            self.positions = jax.device_put(ps, idx_shard0)
+        else:
+            self.bucket_start = jax.device_put(index.bucket_start[None],
+                                               repl)
+            self.positions = jax.device_put(index.positions[None], repl)
+        self.S_plus = jax.device_put(S_plus, repl)
+        self.S_minus = jax.device_put(S_minus, repl)
+        if align_impl == "pallas":
+            gw = nw_pallas.pad_genome_words(genome.codes, cfg.window_width())
+            self.g_arr = jax.device_put(gw, repl)
+        else:
+            self.g_arr = jax.device_put(genome.codes, repl)
+        self._interpret = jax.default_backend() == "cpu"
+
+        in_specs = (P(READS_AXIS), P(READS_AXIS), P(READS_AXIS),
+                    P(INDEX_AXIS), P(INDEX_AXIS), P(), P(), P())
+        out_specs = (P(READS_AXIS), P(READS_AXIS), P(READS_AXIS),
+                     P(READS_AXIS))
+        fn = jax.shard_map(self._shard_fn, mesh=mesh, in_specs=in_specs,
+                           out_specs=out_specs, check_vma=False)
+        self._step = jax.jit(fn)
+
+    # ------------------------------------------------------------------
+    def _dp_scores(self, emis2, cands, lens2):
+        """Local DP over this device's candidate slots."""
+        cfg = self.cfg
+        open_q, ext_q = cfg.gap_open_q(), cfg.gap_extend_q()
+        if self.align_impl == "pallas":
+            emis2_t = jnp.transpose(emis2, (0, 2, 1))
+            return nw_pallas.nw_scores_pallas(
+                emis2_t, cands, lens2, self.g_arr_in,
+                L=cfg.max_read_len, W=cfg.window_width(),
+                slack=cfg.gap_slack, open_q=open_q, ext_q=ext_q,
+                interpret=self._interpret)
+        C = cands.shape[1]
+        ck = max(1, min(16, C))
+        while C % ck:
+            ck -= 1
+        cc = jnp.transpose(cands.reshape(cands.shape[0], C // ck, ck),
+                           (1, 0, 2))
+
+        def chunk_fn(cand_chunk):
+            win = pipeline_mapper.windows_for(
+                jnp.where(cand_chunk == SENTINEL, 0, cand_chunk),
+                self.g_arr_in, cfg)
+            return nw_ref.nw_scores_multi(emis2, win, lens2, open_q, ext_q)
+
+        scores = jax.lax.map(chunk_fn, cc)
+        return jnp.transpose(scores, (1, 0, 2)).reshape(cands.shape)
+
+    def _shard_fn(self, codes, pwm_q, lens, bucket_start, positions,
+                  S_plus, S_minus, g_arr):
+        cfg = self.cfg
+        S = self.S
+        self.g_arr_in = g_arr
+        codes2, emis2 = strand_expand(codes, pwm_q, lens, S_plus, S_minus)
+        lens2 = jnp.concatenate([lens, lens], axis=0)
+        max_sc = nw_ref.max_read_scores(emis2)
+        km, bad = seed_kmers(codes2, self.offsets, cfg.mer_size)
+        if S > 1:
+            s_idx = jax.lax.axis_index(INDEX_AXIS)
+            Q = self.n_buckets // S
+            owned = (km // Q == s_idx) & (~bad)
+            km_local = jnp.where(owned, km - s_idx * Q, 0)
+            cand = csr_hits(km_local, ~owned, bucket_start[0], positions[0],
+                            self.offsets, cfg)
+            # +offset encoding: SENTINEL -> 0 (additive identity for psum)
+            off = cfg.max_read_len + 1
+            enc = jnp.where(cand == SENTINEL, 0, cand + off)
+            enc = jax.lax.psum(enc, INDEX_AXIS)
+            cand = jnp.where(enc == 0, SENTINEL, enc - off)
+        else:
+            cand = csr_hits(km, bad, bucket_start[0], positions[0],
+                            self.offsets, cfg)
+        cands = dedupe_cap(cand, cfg.max_candidates)
+        if S > 1:
+            # split candidate slots across the index group: DP cost / S
+            Cs = cfg.max_candidates // S
+            my = jax.lax.dynamic_slice_in_dim(cands, s_idx * Cs, Cs, axis=1)
+            sc = self._dp_scores(emis2, my, lens2)
+            scores = jax.lax.all_gather(sc, INDEX_AXIS, axis=1, tiled=True)
+        else:
+            scores = self._dp_scores(emis2, cands, lens2)
+        valid = cands != SENTINEL
+        scores = jnp.where(valid, scores, NEG_INF)
+        return cands, valid, scores, max_sc
+
+    # ------------------------------------------------------------------
+    def map_batch_arrays(self, codes, pwm_q, lens) -> Tuple:
+        """Global batch (host-resident ok) -> global outputs.  The batch
+        axis is sharded over "reads" by the jitted shard_map."""
+        return self._step(codes, pwm_q, lens, self.bucket_start,
+                          self.positions, self.S_plus, self.S_minus,
+                          self.g_arr)
+
+    def _canonical_perm(self, B: int) -> np.ndarray:
+        """shard_map stacks each shard's [+ block, - block]; build the
+        permutation to the canonical layout (all + rows, then all -)."""
+        R = self.mesh.shape[READS_AXIS]
+        Bloc = B // R
+        perm = np.empty(2 * B, np.int64)
+        for r in range(R):
+            base = r * 2 * Bloc
+            perm[r * Bloc:(r + 1) * Bloc] = np.arange(base, base + Bloc)
+            perm[B + r * Bloc:B + (r + 1) * Bloc] = np.arange(
+                base + Bloc, base + 2 * Bloc)
+        return perm
+
+    def map_batch(self, batch, stats=None):
+        """ReadBatch -> per-read hits, identical semantics to
+        TpuMapper.map_batch (tested)."""
+        import time as _time
+        from gnumap_tpu.pipeline.mapper import (_update_stats, host_finish)
+        cfg = self.cfg
+        B = batch.codes.shape[0]
+        R = self.mesh.shape[READS_AXIS]
+        if B % R:
+            raise ValueError(f"batch_size {B} must divide by read "
+                             f"shards {R}")
+        t0 = _time.perf_counter()
+        outs = jax.device_get(self.map_batch_arrays(
+            batch.codes, batch.pwm_q, batch.lens))
+        t1 = _time.perf_counter()
+        perm = self._canonical_perm(B)
+        cands, valid, scores, max_sc = (a[perm] for a in outs)
+        S_plus = np.asarray(self.S_plus)
+        S_minus = np.asarray(self.S_minus)
+        out = host_finish(self.genome, S_plus, S_minus, cfg, batch,
+                          cands, valid, scores, max_sc)
+        t2 = _time.perf_counter()
+        if stats is not None:
+            _update_stats(stats, cfg, batch, out, valid, t1 - t0, t2 - t1)
+        return out
+
+
+def allreduce_coverage(cov_stack: np.ndarray,
+                       mesh: jax.sharding.Mesh) -> np.ndarray:
+    """Merge per-shard coverage arrays: (n_dev, G) -> (G,) summed.
+
+    The MPI_Reduce analog: psum over both mesh axes.  In a real multi-host
+    run each host contributes its local row; here the stacked layout also
+    serves the faked-multi-device CI (SURVEY.md §4.4).
+    """
+    n = mesh.devices.size
+    assert cov_stack.shape[0] == n
+
+    def f(c):
+        return jax.lax.psum(c, (READS_AXIS, INDEX_AXIS))
+
+    fn = jax.shard_map(
+        f, mesh=mesh,
+        in_specs=P((READS_AXIS, INDEX_AXIS)),
+        out_specs=P(),
+        check_vma=False)
+    arr = cov_stack.reshape(n, -1) if cov_stack.ndim == 2 else cov_stack
+    out = jax.jit(fn)(arr)
+    return np.asarray(out)[0] if np.asarray(out).ndim == 2 else np.asarray(out)

@@ -26,7 +26,8 @@ FROZEN SEMANTICS (change any of these => regenerate all golden files):
     are skipped; seeds with more than max_hits_per_seed index hits are skipped
     (repeat cap); per-strand candidates deduped ascending, first
     max_candidates kept.
-  * Retention: locus kept iff score >= ceil(a * max_attainable(strand)) and
+  * Retention: locus kept iff score >= threshold_for(max_attainable(strand))
+    (exact integer ceil(a_q * ms / 2^32), MapperConfig.threshold_for) and
     score > 0; weights w_i = s_i / sum(s_j) over all retained loci of both
     strands (float64).
   * Coverage: +w at every genome position consumed by the alignment (M and D
@@ -234,7 +235,7 @@ def map_read(codes: np.ndarray, pwm_q: np.ndarray, gen: OracleGenome,
             c_s, p_s = packing.revcomp(codes), pwm_mod.pwm_revcomp(pwm_q)
         emis = scoring.emission_int(p_s, S_q)
         max_s = int(scoring.max_read_score(emis[None])[0])
-        thresholds[strand] = math.ceil(cfg.align_score_ratio * max_s)
+        thresholds[strand] = cfg.threshold_for(max_s)
         for cand in candidates_for(c_s, index, cfg):
             win_start = cfg.window_start(cand)
             window = gen.window(win_start, W)

@@ -65,6 +65,92 @@ class BatchStats:
     host_s: float = 0.0
 
 
+
+# ---------------------------------------------------------------------------
+# Pure device-program stages (shared by the single-chip TpuMapper and the
+# sharded dist.DistMapper — SURVEY.md §2 parallelism table)
+# ---------------------------------------------------------------------------
+
+def revcomp_batch(codes, pwm_q, lens):
+    """Length-aware reverse complement so the rc read still occupies
+    positions [0, len) with N/zero padding at the tail."""
+    B, L = codes.shape
+    ar = jnp.arange(L, dtype=jnp.int32)
+    src = jnp.clip(lens[:, None] - 1 - ar[None, :], 0, L - 1)
+    in_read = ar[None, :] < lens[:, None]
+    g = jnp.take_along_axis(codes.astype(jnp.int32), src, axis=1)
+    rc_codes = jnp.where(in_read,
+                         jnp.where(g < 4, 3 - g, 4), 4).astype(jnp.int8)
+    pw = jnp.take_along_axis(pwm_q, src[:, :, None], axis=1)
+    rc_pwm = jnp.where(in_read[:, :, None], pw[:, :, ::-1], 0)
+    return rc_codes, rc_pwm
+
+
+def seed_kmers(codes2, offsets, m):
+    """k-mer codes at the static seed offsets + invalid (contains-N) mask."""
+    code4 = jnp.where(codes2 == 4, 0, codes2).astype(jnp.int32)
+    isn = codes2 == 4
+    km = jnp.zeros(codes2.shape[:1] + offsets.shape, dtype=jnp.int32)
+    bad = jnp.zeros_like(km, dtype=bool)
+    for k in range(m):
+        km = km * 4 + code4[:, offsets + k]
+        bad = bad | isn[:, offsets + k]
+    return km, bad
+
+
+def csr_hits(km, bad, bucket_start, positions, offsets, cfg):
+    """Per-seed candidate anchors from a CSR table: (B2, S, caph) int32 with
+    SENTINEL at invalid slots.  ``bucket_start`` may be a shard (with the
+    k-mer codes already rebased by the caller)."""
+    start = bucket_start[km]
+    count = bucket_start[km + 1] - start
+    seed_ok = (~bad) & (count > 0) & (count <= cfg.max_hits_per_seed)
+    caph = cfg.max_hits_per_seed
+    ar = jnp.arange(caph, dtype=jnp.int32)
+    hit_idx = start[:, :, None] + ar[None, None, :]
+    hit_ok = seed_ok[:, :, None] & (ar[None, None, :] < count[:, :, None])
+    npos = positions.shape[0]
+    pos = positions[jnp.clip(hit_idx, 0, max(npos - 1, 0))]
+    cand = pos - offsets[None, :, None]
+    return jnp.where(hit_ok, cand, SENTINEL)
+
+
+def dedupe_cap(cand, C):
+    """Sort-dedupe-cap per read: (B2, S*caph) -> (B2, C) ascending with
+    SENTINEL padding (two sorts replace the reference's per-read hash set)."""
+    flat = cand.reshape(cand.shape[0], -1)
+    s1 = jnp.sort(flat, axis=1)
+    uniq = jnp.concatenate(
+        [jnp.ones_like(s1[:, :1], dtype=bool), s1[:, 1:] != s1[:, :-1]],
+        axis=1)
+    s2 = jnp.sort(jnp.where(uniq, s1, SENTINEL), axis=1)
+    if s2.shape[1] < C:
+        s2 = jnp.pad(s2, ((0, 0), (0, C - s2.shape[1])),
+                     constant_values=SENTINEL)
+    return s2[:, :C]
+
+
+def windows_for(cand_chunk, g_codes, cfg):
+    """Gather genome windows for a chunk of candidates; OOB -> N."""
+    W = cfg.window_width()
+    G = g_codes.shape[0]
+    idx = (cfg.window_start(cand_chunk.astype(jnp.int32))[:, :, None]
+           + jnp.arange(W, dtype=jnp.int32)[None, None, :])
+    oob = (idx < 0) | (idx >= G)
+    win = g_codes[jnp.clip(idx, 0, G - 1)].astype(jnp.int32)
+    return jnp.where(oob, 4, win)
+
+
+def strand_expand(codes, pwm_q, lens, S_plus, S_minus):
+    """codes/pwm -> both-strand codes2 + integer emission tables (MXU)."""
+    rc_codes, rc_pwm = revcomp_batch(codes, pwm_q, lens)
+    codes2 = jnp.concatenate([codes, rc_codes], axis=0)
+    emis_p = jnp.matmul(pwm_q, S_plus, preferred_element_type=jnp.int32)
+    emis_m = jnp.matmul(rc_pwm, S_minus, preferred_element_type=jnp.int32)
+    emis2 = jnp.concatenate([emis_p, emis_m], axis=0)
+    return codes2, emis2
+
+
 class TpuMapper:
     """Holds the device-resident genome/index and the compiled map program."""
 
@@ -103,76 +189,19 @@ class TpuMapper:
     # ------------------------------------------------------------------
     # Device program
     # ------------------------------------------------------------------
-    def _revcomp_batch(self, codes, pwm_q, lens):
-        """Length-aware reverse complement so the rc read still occupies
-        positions [0, len) with N/zero padding at the tail."""
-        B, L = codes.shape
-        ar = jnp.arange(L, dtype=jnp.int32)
-        src = jnp.clip(lens[:, None] - 1 - ar[None, :], 0, L - 1)
-        in_read = ar[None, :] < lens[:, None]
-        g = jnp.take_along_axis(codes.astype(jnp.int32), src, axis=1)
-        rc_codes = jnp.where(in_read,
-                             jnp.where(g < 4, 3 - g, 4), 4).astype(jnp.int8)
-        pw = jnp.take_along_axis(pwm_q, src[:, :, None], axis=1)
-        rc_pwm = jnp.where(in_read[:, :, None], pw[:, :, ::-1], 0)
-        return rc_codes, rc_pwm
-
     def _seed(self, codes2):
         """Candidate anchors per (read x strand): int32[B2, C] + valid mask."""
         cfg = self.cfg
-        m = cfg.mer_size
-        offs = self.offsets
-        code4 = jnp.where(codes2 == 4, 0, codes2).astype(jnp.int32)
-        isn = codes2 == 4
-        km = jnp.zeros(codes2.shape[:1] + offs.shape, dtype=jnp.int32)
-        bad = jnp.zeros_like(km, dtype=bool)
-        for k in range(m):
-            km = km * 4 + code4[:, offs + k]
-            bad = bad | isn[:, offs + k]
-        start = self.bucket_start[km]
-        count = self.bucket_start[km + 1] - start
-        seed_ok = (~bad) & (count > 0) & (count <= cfg.max_hits_per_seed)
-        caph = cfg.max_hits_per_seed
-        ar = jnp.arange(caph, dtype=jnp.int32)
-        hit_idx = start[:, :, None] + ar[None, None, :]
-        hit_ok = seed_ok[:, :, None] & (ar[None, None, :] < count[:, :, None])
-        npos = self.positions.shape[0]
-        pos = self.positions[jnp.clip(hit_idx, 0, max(npos - 1, 0))]
-        cand = pos - offs[None, :, None]
-        cand = jnp.where(hit_ok, cand, SENTINEL)
-        flat = cand.reshape(cand.shape[0], -1)
-        s1 = jnp.sort(flat, axis=1)
-        uniq = jnp.concatenate(
-            [jnp.ones_like(s1[:, :1], dtype=bool), s1[:, 1:] != s1[:, :-1]],
-            axis=1)
-        s2 = jnp.sort(jnp.where(uniq, s1, SENTINEL), axis=1)
-        C = cfg.max_candidates
-        if s2.shape[1] < C:
-            s2 = jnp.pad(s2, ((0, 0), (0, C - s2.shape[1])),
-                         constant_values=SENTINEL)
-        cands = s2[:, :C]
+        km, bad = seed_kmers(codes2, self.offsets, cfg.mer_size)
+        cand = csr_hits(km, bad, self.bucket_start, self.positions,
+                        self.offsets, cfg)
+        cands = dedupe_cap(cand, cfg.max_candidates)
         return cands, cands != SENTINEL
-
-    def _windows_for(self, cand_chunk):
-        """Gather genome windows for a chunk of candidates; OOB -> N."""
-        cfg = self.cfg
-        W = cfg.window_width()
-        G = self.g_codes.shape[0]
-        idx = (cfg.window_start(cand_chunk.astype(jnp.int32))[:, :, None]
-               + jnp.arange(W, dtype=jnp.int32)[None, None, :])
-        oob = (idx < 0) | (idx >= G)
-        win = self.g_codes[jnp.clip(idx, 0, G - 1)].astype(jnp.int32)
-        return jnp.where(oob, 4, win)
 
     def _device_map(self, codes, pwm_q, lens):
         cfg = self.cfg
-        rc_codes, rc_pwm = self._revcomp_batch(codes, pwm_q, lens)
-        codes2 = jnp.concatenate([codes, rc_codes], axis=0)
-        emis_p = jnp.matmul(pwm_q, self.S_plus,
-                            preferred_element_type=jnp.int32)
-        emis_m = jnp.matmul(rc_pwm, self.S_minus,
-                            preferred_element_type=jnp.int32)
-        emis2 = jnp.concatenate([emis_p, emis_m], axis=0)
+        codes2, emis2 = strand_expand(codes, pwm_q, lens,
+                                      self.S_plus, self.S_minus)
         max_sc = nw_ref.max_read_scores(emis2)
         cands, valid = self._seed(codes2)
         ck = self.cand_chunk
@@ -193,8 +222,9 @@ class TpuMapper:
                 interpret=self._interpret)
         else:
             def chunk_fn(cand_chunk):
-                win = self._windows_for(jnp.where(cand_chunk == SENTINEL, 0,
-                                                  cand_chunk))
+                win = windows_for(jnp.where(cand_chunk == SENTINEL, 0,
+                                            cand_chunk), self.g_codes,
+                                  cfg)
                 return nw_ref.nw_scores_multi(emis2, win, lens2, open_q,
                                               ext_q)
 
@@ -206,80 +236,20 @@ class TpuMapper:
     # ------------------------------------------------------------------
     # Host finishing
     # ------------------------------------------------------------------
-    def finish_read(self, codes_np, pwm_np, strand_rows, cfg
-                    ) -> List[ReadHit]:
-        """Threshold + traceback + dedupe + posterior for one read.
-
-        strand_rows: {strand: (cands, valid, scores, max_sc, emis_np)}
-        """
-        retained: List[Tuple[str, int, int]] = []
-        for strand, (cands, valid, scs, max_sc, _) in strand_rows.items():
-            thr = math.ceil(cfg.align_score_ratio * float(max_sc))
-            keep = valid & (scs >= thr) & (scs > 0)
-            for c in np.nonzero(keep)[0]:
-                retained.append((strand, int(cands[c]), int(scs[c])))
-        if not retained:
-            return []
-        W = cfg.window_width()
-        best: Dict[Tuple[str, int], ReadHit] = {}
-        for strand, cand, score in retained:
-            emis_np = strand_rows[strand][4]
-            win_start = cfg.window_start(cand)
-            window = _window_np(self.genome.codes, win_start, W)
-            sc2, pos_in_w, cigar, ref_len = oracle.nw_align(
-                emis_np, window, cfg, traceback=True)
-            pos = win_start + pos_in_w
-            key = (strand, pos)
-            if key not in best or sc2 > best[key].score:
-                best[key] = ReadHit(strand, pos, sc2, 0.0, cigar, ref_len)
-        hits = list(best.values())
-        total = float(sum(h.score for h in hits))
-        for h in hits:
-            h.weight = h.score / total
-        hits.sort(key=lambda h: (h.pos, 0 if h.strand == "+" else 1))
-        return hits
-
     def map_batch(self, batch: ReadBatch,
                   stats: Optional[BatchStats] = None) -> List[List[ReadHit]]:
-        cfg = self.cfg
         t0 = time.perf_counter()
-        cands, valid, scores, max_sc = jax.device_get(
+        outputs = jax.device_get(
             self._map_jit(jnp.asarray(batch.codes), jnp.asarray(batch.pwm_q),
                           jnp.asarray(batch.lens)))
         t1 = time.perf_counter()
-        B = batch.codes.shape[0]
-        out: List[List[ReadHit]] = []
-        # host emissions computed lazily per strand only for reads w/ survivors
-        for b in range(batch.n):
-            rows = {}
-            need_tb = False
-            for si, strand in ((0, "+"), (1, "-")):
-                r = b + si * B
-                thr = math.ceil(cfg.align_score_ratio * float(max_sc[r]))
-                if np.any(valid[r] & (scores[r] >= thr) & (scores[r] > 0)):
-                    need_tb = True
-                rows[strand] = [cands[r], valid[r], scores[r], max_sc[r], None]
-            if need_tb:
-                L = int(batch.lens[b])
-                c_np = batch.codes[b, :L]
-                p_np = batch.pwm_q[b, :L]
-                rows["+"][4] = scoring.emission_int(p_np, self.S_plus_np)
-                rows["-"][4] = scoring.emission_int(
-                    pwm_mod.pwm_revcomp(p_np), self.S_minus_np)
-                out.append(self.finish_read(
-                    c_np, p_np, {k: tuple(v) for k, v in rows.items()}, cfg))
-            else:
-                out.append([])
+        out = host_finish(self.genome, self.S_plus_np, self.S_minus_np,
+                          self.cfg, batch, *outputs)
         t2 = time.perf_counter()
         if stats is not None:
-            W = cfg.window_width()
-            stats.n_reads += batch.n
-            stats.n_mapped += sum(1 for h in out if h)
-            stats.n_multi += sum(1 for h in out if len(h) > 1)
-            stats.n_candidates += int(valid.sum())
-            stats.dp_cells += int(valid.sum()) * cfg.max_read_len * W
-            stats.device_s += t1 - t0
-            stats.host_s += t2 - t1
+            _, valid, _, _ = outputs
+            _update_stats(stats, self.cfg, batch, out, valid,
+                          t1 - t0, t2 - t1)
         return out
 
 
@@ -367,3 +337,78 @@ def _accumulate_tallies(tallies: np.ndarray, h: ReadHit,
             gp += num
         elif op == "I":
             i += num
+
+
+def finish_read(genome: Genome, cfg: MapperConfig, strand_rows
+                ) -> List[ReadHit]:
+    """Threshold + traceback + dedupe + posterior for one read.
+
+    strand_rows: {strand: (cands, valid, scores, max_sc, emis_np)}
+    Frozen semantics identical to oracle.map_read.
+    """
+    retained: List[Tuple[str, int, int]] = []
+    for strand, (cands, valid, scs, max_sc, _) in strand_rows.items():
+        thr = cfg.threshold_for(int(max_sc))
+        keep = valid & (scs >= thr) & (scs > 0)
+        for c in np.nonzero(keep)[0]:
+            retained.append((strand, int(cands[c]), int(scs[c])))
+    if not retained:
+        return []
+    W = cfg.window_width()
+    best: Dict[Tuple[str, int], ReadHit] = {}
+    for strand, cand, score in retained:
+        emis_np = strand_rows[strand][4]
+        win_start = cfg.window_start(cand)
+        window = _window_np(genome.codes, win_start, W)
+        sc2, pos_in_w, cigar, ref_len = oracle.nw_align(
+            emis_np, window, cfg, traceback=True)
+        pos = win_start + pos_in_w
+        key = (strand, pos)
+        if key not in best or sc2 > best[key].score:
+            best[key] = ReadHit(strand, pos, sc2, 0.0, cigar, ref_len)
+    hits = list(best.values())
+    total = float(sum(h.score for h in hits))
+    for h in hits:
+        h.weight = h.score / total
+    hits.sort(key=lambda h: (h.pos, 0 if h.strand == "+" else 1))
+    return hits
+
+
+def host_finish(genome: Genome, S_plus_np, S_minus_np, cfg: MapperConfig,
+                batch: ReadBatch, cands, valid, scores, max_sc
+                ) -> List[List[ReadHit]]:
+    """Per-read host finishing over canonical-layout device outputs
+    (row b = '+' strand of read b, row b + B = '-' strand)."""
+    B = batch.codes.shape[0]
+    out: List[List[ReadHit]] = []
+    for b in range(batch.n):
+        rows = {}
+        need_tb = False
+        for si, strand in ((0, "+"), (1, "-")):
+            r = b + si * B
+            thr = cfg.threshold_for(int(max_sc[r]))
+            if np.any(valid[r] & (scores[r] >= thr) & (scores[r] > 0)):
+                need_tb = True
+            rows[strand] = [cands[r], valid[r], scores[r], max_sc[r], None]
+        if need_tb:
+            L = int(batch.lens[b])
+            p_np = batch.pwm_q[b, :L]
+            rows["+"][4] = scoring.emission_int(p_np, S_plus_np)
+            rows["-"][4] = scoring.emission_int(
+                pwm_mod.pwm_revcomp(p_np), S_minus_np)
+            out.append(finish_read(
+                genome, cfg, {k: tuple(v) for k, v in rows.items()}))
+        else:
+            out.append([])
+    return out
+
+
+def _update_stats(stats: BatchStats, cfg: MapperConfig, batch: ReadBatch,
+                  out, valid, device_s: float, host_s: float) -> None:
+    stats.n_reads += batch.n
+    stats.n_mapped += sum(1 for h in out if h)
+    stats.n_multi += sum(1 for h in out if len(h) > 1)
+    stats.n_candidates += int(valid.sum())
+    stats.dp_cells += int(valid.sum()) * cfg.max_read_len * cfg.window_width()
+    stats.device_s += device_s
+    stats.host_s += host_s

@@ -12,6 +12,12 @@ if "host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags +
                                " --xla_force_host_platform_device_count=8")
 
+import jax
+
+# The axon TPU plugin force-overrides JAX_PLATFORMS to "axon,cpu"; pin CPU
+# explicitly so tests never ride the TPU tunnel.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 

@@ -5,14 +5,11 @@ on CPU by tests/test_align.py (nw_ref).  Full Pallas-vs-oracle equality runs:
 
   * on real TPU hardware (tests below auto-skip on CPU; run on a TPU host or
     see bench.py which asserts kernel-vs-jnp equality every benchmark run);
-  * in CPU interpret mode when GNUMAP_PALLAS_INTERP=1 (minutes-slow on small
-    hosts, so opt-in).
+  * in CPU interpret mode (fast on a true CPU backend; conftest pins CPU).
 
 The always-on CPU tests here cover the XLA-side preprocessing: 4-bit genome
 packing, the frozen window rule, and sentinel handling.
 """
-
-import os
 
 import numpy as np
 import pytest
@@ -27,7 +24,6 @@ from gnumap_tpu.oracle import oracle
 SENT = nw_pallas.SENTINEL
 
 on_tpu = jax.default_backend() == "tpu"
-interp_ok = os.environ.get("GNUMAP_PALLAS_INTERP") == "1"
 
 
 def test_pack_4bit_roundtrip():
@@ -109,9 +105,11 @@ def test_pallas_matches_oracle_tpu():
                      G=800, seed=42, interpret=False)
 
 
-@pytest.mark.skipif(not interp_ok,
-                    reason="interpret mode is minutes-slow; set "
-                           "GNUMAP_PALLAS_INTERP=1 to run")
 def test_pallas_matches_oracle_interpret():
     _check_vs_oracle(MapperConfig(max_read_len=16), L=16, C=8, B2=4,
                      G=200, seed=3, interpret=True)
+
+
+def test_pallas_matches_oracle_interpret_bigger():
+    _check_vs_oracle(MapperConfig(max_read_len=24), L=24, C=16, B2=10,
+                     G=600, seed=11, interpret=True)
