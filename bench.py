@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Benchmark driver: prints ONE JSON line with the headline metric.
+
+Metric (BASELINE.json:2): reads aligned/sec/chip, 100bp reads vs an
+E.coli-scale reference, plus DP cell-updates/sec.
+
+Baseline provenance: the reference C++ GNUMAP binary was unavailable (the
+reference mount is empty — SURVEY.md §0) and BASELINE.json records no
+published numbers ("published": {}).  vs_baseline is therefore measured
+against this machine's host-CPU run of the same pipeline (XLA:CPU, jnp DP
+path) — the recorded stand-in for the single-core C++ baseline.  The CPU
+number is cached in /tmp between runs of the same round.
+
+Usage:  python bench.py [--reads N] [--no-baseline] [--cpu-baseline]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+CACHE = "/tmp/gnumap_bench_cpu_baseline.json"
+BENCH_READS_CPU = 512
+
+
+def build_workload(n_reads, genome_len, batch_size):
+    from gnumap_tpu.config import MapperConfig
+    from gnumap_tpu.index import builder
+    from gnumap_tpu.io import fastq as io_fastq
+    from gnumap_tpu.core import packing, pwm as pwm_mod
+    from gnumap_tpu.utils import sim
+
+    cfg = MapperConfig(mer_size=12, seed_jump=5, batch_size=batch_size,
+                       max_read_len=104, max_candidates=32,
+                       max_hits_per_seed=32, sam_out=False, sgr_out=False)
+    genome = sim.random_genome(genome_len, seed=0)
+    gen = builder.Genome.from_contigs([("ecoli_sim", genome)])
+    idx = builder.build_index(gen, cfg)
+    reads = sim.simulate_reads(genome, n_reads, 100, seed=7, sub_rate=0.01,
+                               contig="ecoli_sim")
+    recs = []
+    for r in reads:
+        codes = packing.encode(r.seq)
+        q = np.frombuffer(r.qual.encode(), np.uint8).astype(np.int32) - 33
+        recs.append(io_fastq.ReadRecord(
+            r.name, codes, pwm_mod.pwm_from_calls(codes, q),
+            q.astype(np.int16)))
+    return cfg, gen, idx, recs
+
+
+def run_pipeline(cfg, gen, idx, recs, align_impl):
+    import jax
+    from gnumap_tpu.io import fastq as io_fastq
+    from gnumap_tpu.pipeline import mapper as pl
+
+    m = pl.TpuMapper(gen, idx, cfg, align_impl=align_impl)
+    batches = list(io_fastq.batch_reads(iter(recs), cfg))
+    # warmup/compile on the first batch
+    b0 = batches[0]
+    jax.block_until_ready(m._map_jit(b0.codes, b0.pwm_q, b0.lens))
+    stats = pl.BatchStats()
+    t0 = time.perf_counter()
+    n_hits = 0
+    for b in batches:
+        hits = m.map_batch(b, stats)
+        n_hits += sum(len(h) for h in hits)
+    dt = time.perf_counter() - t0
+    return dt, stats, n_hits
+
+
+def cpu_baseline(n_reads):
+    """Measured in a subprocess so the TPU process stays clean."""
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            return json.load(f)
+    code = subprocess.run(
+        [sys.executable, __file__, "--cpu-baseline",
+         "--reads", str(n_reads)],
+        capture_output=True, text=True, timeout=3000)
+    if code.returncode != 0:
+        sys.stderr.write(code.stderr[-2000:])
+        return None
+    with open(CACHE) as f:
+        return json.load(f)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reads", type=int, default=16384)
+    ap.add_argument("--genome-len", type=int, default=4_641_652)
+    ap.add_argument("--batch-size", type=int, default=2048)
+    ap.add_argument("--no-baseline", action="store_true")
+    ap.add_argument("--cpu-baseline", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu_baseline:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        n = min(args.reads, BENCH_READS_CPU)
+        cfg, gen, idx, recs = build_workload(n, args.genome_len,
+                                             min(args.batch_size, 256))
+        dt, stats, _ = run_pipeline(cfg, gen, idx, recs, "jnp")
+        out = {"cpu_reads_per_s": stats.n_reads / dt,
+               "reads": stats.n_reads, "seconds": dt}
+        with open(CACHE, "w") as f:
+            json.dump(out, f)
+        sys.stderr.write(f"cpu baseline: {out}\n")
+        return
+
+    import jax
+    from gnumap_tpu.utils import jaxcache
+    jaxcache.enable()
+    backend = jax.default_backend()
+    impl = "pallas" if backend == "tpu" else "jnp"
+    cfg, gen, idx, recs = build_workload(args.reads, args.genome_len,
+                                         args.batch_size)
+    dt, stats, n_hits = run_pipeline(cfg, gen, idx, recs, impl)
+    reads_per_s = stats.n_reads / dt
+    cells_per_s = stats.dp_cells / max(stats.device_s, 1e-9)
+
+    vs_baseline = None
+    if not args.no_baseline:
+        base = cpu_baseline(args.reads)
+        if base:
+            vs_baseline = reads_per_s / base["cpu_reads_per_s"]
+
+    print(json.dumps({
+        "metric": "reads aligned/sec/chip (100bp, E.coli-scale)",
+        "value": round(reads_per_s, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "backend": backend, "align_impl": impl,
+        "reads": stats.n_reads, "mapped": stats.n_mapped,
+        "dp_cells_per_s_device": round(cells_per_s / 1e9, 3),
+        "dp_unit": "Gcells/s",
+        "device_s": round(stats.device_s, 3),
+        "host_s": round(stats.host_s, 3),
+        "wall_s": round(dt, 3),
+        "baseline_provenance": "host-CPU jnp pipeline (C++ reference "
+                               "unavailable: empty mount)",
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -107,7 +107,20 @@ def read_stream(paths, cfg):
     return itertools.chain(*its)
 
 
+def batch_stream(paths, cfg):
+    """Batches, using the native C++ FASTQ fast path where possible."""
+    fastqs = [p for p in paths
+              if not p.endswith(("_prb.txt", ".prb", ".fa", ".fasta"))]
+    if len(fastqs) == len(paths):
+        for path in paths:
+            yield from io_fastq.batch_reads_native(path, cfg)
+    else:
+        yield from io_fastq.batch_reads(read_stream(paths, cfg), cfg)
+
+
 def main(argv=None) -> int:
+    from gnumap_tpu.utils import jaxcache
+    jaxcache.enable()
     args = build_arg_parser().parse_args(argv)
     if not args.save_index and (not args.reads or not args.output):
         raise SystemExit("reads and -o/--output are required unless "
@@ -137,7 +150,7 @@ def main(argv=None) -> int:
                             cmd=" ".join(sys.argv))
     t1 = time.perf_counter()
     res = pl.map_stream(
-        m, io_fastq.batch_reads(read_stream(args.reads, cfg), cfg),
+        m, batch_stream(args.reads, cfg),
         collect_sam=False, sam_file=sam_f)
     t_map = time.perf_counter() - t1
     if sam_f:

@@ -143,3 +143,69 @@ def batch_reads(reads: Iterator[ReadRecord], cfg: MapperConfig
             buf = []
     if buf:
         yield flush()
+
+
+def batch_reads_native(path: str, cfg: MapperConfig):
+    """Native (C++) FASTQ fast path: chunked parse straight into fixed-shape
+    batches; falls back to the Python parser when the lib is unavailable.
+    Reference SeqManager analog (SURVEY.md §1 L2)."""
+    from gnumap_tpu.native import lib as native_lib
+    if not native_lib.available():
+        yield from batch_reads(iter_fastq(path, cfg), cfg)
+        return
+    B, L = cfg.batch_size, cfg.max_read_len
+    CHUNK = 8 << 20
+    pend_names: List[str] = []
+    pend = None  # (codes, quals, lens) arrays pending batch fill
+
+    def assemble(names, codes, quals, lens):
+        pw = pwm_mod.pwm_from_calls(codes, np.asarray(quals, np.int32))
+        in_read = (np.arange(L)[None, :] < lens[:, None])
+        pw = np.where(in_read[:, :, None], pw, 0).astype(np.int32)
+        return names, codes, pw, quals, lens
+
+    tail = b""
+    eof = False
+    with open(path, "rb") as f:
+        while True:
+            data = f.read(CHUNK)
+            eof = not data
+            chunk = tail + data
+            if not chunk:
+                break
+            names, codes, quals, lens, consumed = \
+                native_lib.parse_fastq_chunk(chunk, 4 * B, L,
+                                             cfg.phred_offset, is_final=eof)
+            if consumed == 0 and eof and not names:
+                break
+            tail = chunk[consumed:]
+            i = 0
+            while i < len(names):
+                take = min(B - len(pend_names), len(names) - i)
+                part = assemble(names[i:i + take], codes[i:i + take],
+                                quals[i:i + take], lens[i:i + take])
+                if pend is None and take == B:
+                    yield ReadBatch(part[0], part[1], part[2], part[4],
+                                    part[3], B)
+                else:
+                    if pend is None:
+                        pend = [np.full((B, L), 4, np.int8),
+                                np.zeros((B, L, 4), np.int32),
+                                np.zeros((B, L), np.int16),
+                                np.zeros(B, np.int32)]
+                    k = len(pend_names)
+                    pend[0][k:k + take] = part[1]
+                    pend[1][k:k + take] = part[2]
+                    pend[2][k:k + take] = part[3]
+                    pend[3][k:k + take] = part[4]
+                    pend_names.extend(part[0])
+                    if len(pend_names) == B:
+                        yield ReadBatch(pend_names, pend[0], pend[1],
+                                        pend[3], pend[2], B)
+                        pend_names, pend = [], None
+                i += take
+            if eof and not names:
+                break
+    if pend_names:
+        yield ReadBatch(pend_names, pend[0], pend[1], pend[3], pend[2],
+                        len(pend_names))

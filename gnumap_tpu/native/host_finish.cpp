@@ -1,0 +1,161 @@
+// Native host-side finisher: exact integer NW traceback.
+//
+// The device (TPU) computes scores for every (read, candidate) pair; the few
+// retained winners need a traceback for SAM CIGARs (SURVEY.md §7 "rescoring
+// winners" design).  NumPy does this at ~1 ms/hit, which caps end-to-end
+// throughput; this C++ routine replicates oracle.nw_align bit-for-bit
+// (same int64 fixed-point recurrences, same NEG_INF clamping, same
+// prefix-max Iy unrolling, same tie-breaks) at ~30 us/hit.
+//
+// Reference analog: ScoredSeq::align + traceback (SURVEY.md §3.3 [REPO?]).
+//
+// Build: make -C gnumap_tpu/native   (g++ -O3 -shared; no dependencies)
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+thread_local std::vector<int64_t> g_m, g_ix, g_iy;
+
+inline int64_t max3(int64_t a, int64_t b, int64_t c) {
+    int64_t m = a > b ? a : b;
+    return m > c ? m : c;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Fills cigar_out with an RLE CIGAR string (M/I/D ops).  Returns the
+// alignment score; *pos_in_window = first consumed genome column - 1,
+// *ref_len = genome bases consumed.  Semantics frozen by oracle.nw_align.
+int64_t nw_traceback(const int32_t* emis,   // [L][5] row-major
+                     const int8_t* window,  // [W] codes 0..4
+                     int32_t L, int32_t W,
+                     int64_t open_q, int64_t ext_q, int64_t neg_inf,
+                     char* cigar_out, int32_t cigar_cap,
+                     int32_t* pos_in_window, int32_t* ref_len) {
+    const int64_t stride = W + 1;
+    const size_t cells = (size_t)(L + 1) * stride;
+    if (g_m.size() < cells) {
+        g_m.resize(cells);
+        g_ix.resize(cells);
+        g_iy.resize(cells);
+    }
+    int64_t* M = g_m.data();
+    int64_t* Ix = g_ix.data();
+    int64_t* Iy = g_iy.data();
+
+    for (int64_t j = 0; j <= W; ++j) {
+        M[j] = 0;               // M[0][j] = 0 (fitting alignment, free start)
+        Ix[j] = neg_inf;
+        Iy[j] = neg_inf;
+    }
+    for (int32_t i = 1; i <= L; ++i) {
+        const int64_t* Mp = M + (int64_t)(i - 1) * stride;
+        const int64_t* Ixp = Ix + (int64_t)(i - 1) * stride;
+        const int64_t* Iyp = Iy + (int64_t)(i - 1) * stride;
+        int64_t* Mi = M + (int64_t)i * stride;
+        int64_t* Ixi = Ix + (int64_t)i * stride;
+        int64_t* Iyi = Iy + (int64_t)i * stride;
+        const int32_t* erow = emis + (int64_t)(i - 1) * 5;
+
+        Mi[0] = neg_inf;
+        Ixi[0] = Mp[0] - open_q > Ixp[0] - ext_q ? Mp[0] - open_q
+                                                 : Ixp[0] - ext_q;
+        if (Ixi[0] < neg_inf) Ixi[0] = neg_inf;
+        Iyi[0] = neg_inf;
+        // prefix-max running value pm = max_{k<=j-1}(M[i][k] + k*ext)
+        int64_t pm = Mi[0];     // k = 0 term (j will start at 1)
+        for (int64_t j = 1; j <= W; ++j) {
+            const int64_t e = erow[window[j - 1]];
+            int64_t m = e + max3(Mp[j - 1], Ixp[j - 1], Iyp[j - 1]);
+            Mi[j] = m > neg_inf ? m : neg_inf;
+            int64_t ix = Mp[j] - open_q > Ixp[j] - ext_q ? Mp[j] - open_q
+                                                         : Ixp[j] - ext_q;
+            Ixi[j] = ix > neg_inf ? ix : neg_inf;
+            int64_t iy = pm - open_q - (j - 1) * ext_q;
+            Iyi[j] = iy > neg_inf ? iy : neg_inf;
+            const int64_t cand = Mi[j] + j * ext_q;
+            if (cand > pm) pm = cand;
+        }
+    }
+
+    // final: max over j of max(M[L][j], Ix[L][j]); smallest j on ties
+    const int64_t* ML = M + (int64_t)L * stride;
+    const int64_t* IxL = Ix + (int64_t)L * stride;
+    int64_t best = neg_inf - 1;
+    int64_t bestj = 0;
+    for (int64_t j = 0; j <= W; ++j) {
+        int64_t v = ML[j] > IxL[j] ? ML[j] : IxL[j];
+        if (v > best) { best = v; bestj = j; }
+    }
+
+    // traceback (state preference M > Ix > Iy, frozen)
+    int64_t i = L, j = bestj;
+    int state = (ML[j] >= IxL[j]) ? 0 : 1;
+    std::vector<char> ops;
+    ops.reserve(L + 16);
+    while (i > 0) {
+        const int64_t* Mi = M + i * stride;
+        const int64_t* Mp = M + (i - 1) * stride;
+        const int64_t* Ixp = Ix + (i - 1) * stride;
+        const int64_t* Iyp = Iy + (i - 1) * stride;
+        const int64_t* Iyi = Iy + i * stride;
+        if (state == 0) {                       // M: consumed read + genome
+            ops.push_back('M');
+            int64_t a = Mp[j - 1], b = Ixp[j - 1], c = Iyp[j - 1];
+            int64_t m = max3(a, b, c);
+            state = (a == m) ? 0 : (b == m ? 1 : 2);
+            --i; --j;
+        } else if (state == 1) {                // Ix: consumed read only
+            ops.push_back('I');
+            if (j == 0) { --i; continue; }      // column-0 ramp stays Ix
+            if (Mp[j] - open_q >= Ixp[j] - ext_q) state = 0;
+            --i;
+        } else {                                // Iy: consumed genome only
+            ops.push_back('D');
+            if (Mi[j - 1] - open_q >= Iyi[j - 1] - ext_q) state = 0;
+            --j;
+        }
+    }
+
+    // RLE encode (ops are reversed; encode from the back)
+    int32_t out = 0, rl = 0;
+    int64_t n = (int64_t)ops.size();
+    for (int64_t k = n - 1; k >= 0;) {
+        char op = ops[k];
+        int32_t run = 0;
+        while (k >= 0 && ops[k] == op) { ++run; --k; }
+        char buf[16];
+        int len = snprintf(buf, sizeof buf, "%d%c", run, op);
+        if (out + len >= cigar_cap) break;
+        memcpy(cigar_out + out, buf, len);
+        out += len;
+        if (op == 'M' || op == 'D') rl += run;
+    }
+    cigar_out[out] = '\0';
+    *pos_in_window = (int32_t)j;
+    *ref_len = rl;
+    return best;
+}
+
+// Integer emission table: pwm[L][4] x S[4][5] -> emis[L][5] (exact int64
+// accumulate narrowed to int32; mirrors scoring.emission_int).
+void emission_int(const int32_t* pwm, const int32_t* S, int32_t L,
+                  int32_t* out) {
+    for (int32_t i = 0; i < L; ++i) {
+        const int32_t* p = pwm + (int64_t)i * 4;
+        for (int32_t g = 0; g < 5; ++g) {
+            int64_t acc = 0;
+            for (int32_t b = 0; b < 4; ++b)
+                acc += (int64_t)p[b] * S[b * 5 + g];
+            out[(int64_t)i * 5 + g] = (int32_t)acc;
+        }
+    }
+}
+
+}  // extern "C"

@@ -1,0 +1,123 @@
+"""ctypes bindings for the native host runtime (C++), with auto-build and a
+pure-Python fallback.
+
+Components (reference analogs in SURVEY.md §2):
+  * nw_traceback — exact integer NW + CIGAR traceback (ScoredSeq::align)
+  * emission_int — integer PWM x S emission table
+  * parse_fastq_chunk — FASTQ fast path (SeqReader)
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libgnumap_host.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        r = subprocess.run(["make", "-C", _DIR], capture_output=True,
+                           text=True, timeout=300)
+        return r.returncode == 0 and os.path.exists(_SO)
+    except Exception:
+        return False
+
+
+def get_lib():
+    """The loaded shared library, or None (fallback to Python paths)."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        lib.nw_traceback.restype = ctypes.c_int64
+        lib.nw_traceback.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+        lib.emission_int.restype = None
+        lib.emission_int.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_void_p]
+        lib.parse_fastq_chunk.restype = ctypes.c_int32
+        lib.parse_fastq_chunk.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int64)]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def nw_traceback(emis: np.ndarray, window: np.ndarray, open_q: int,
+                 ext_q: int, neg_inf: int):
+    """(score, pos_in_window, cigar, ref_len) — bit-identical to
+    oracle.nw_align(traceback=True)."""
+    lib = get_lib()
+    emis = np.ascontiguousarray(emis, dtype=np.int32)
+    window = np.ascontiguousarray(window, dtype=np.int8)
+    L, W = emis.shape[0], window.shape[0]
+    buf = ctypes.create_string_buffer(4 * L + 64)
+    pos = ctypes.c_int32()
+    rl = ctypes.c_int32()
+    score = lib.nw_traceback(
+        emis.ctypes.data, window.ctypes.data, L, W,
+        open_q, ext_q, neg_inf, buf, len(buf), ctypes.byref(pos),
+        ctypes.byref(rl))
+    return int(score), int(pos.value), buf.value.decode(), int(rl.value)
+
+
+def emission_int(pwm_q: np.ndarray, S_q: np.ndarray) -> np.ndarray:
+    lib = get_lib()
+    pwm_q = np.ascontiguousarray(pwm_q, dtype=np.int32)
+    S_q = np.ascontiguousarray(S_q, dtype=np.int32)
+    L = pwm_q.shape[0]
+    out = np.empty((L, 5), dtype=np.int32)
+    lib.emission_int(pwm_q.ctypes.data, S_q.ctypes.data, L, out.ctypes.data)
+    return out
+
+
+def parse_fastq_chunk(chunk: bytes, max_reads: int, max_len: int,
+                      phred_offset: int, is_final: bool = True):
+    """-> (names, codes, quals, lens, consumed_bytes)"""
+    lib = get_lib()
+    codes = np.empty((max_reads, max_len), dtype=np.int8)
+    quals = np.empty((max_reads, max_len), dtype=np.int16)
+    lens = np.empty(max_reads, dtype=np.int32)
+    name_cap = 256 * max_reads
+    name_buf = ctypes.create_string_buffer(name_cap)
+    name_off = np.empty(max_reads, dtype=np.int64)
+    consumed = ctypes.c_int64()
+    nr = lib.parse_fastq_chunk(
+        chunk, len(chunk), max_reads, max_len, phred_offset,
+        1 if is_final else 0,
+        codes.ctypes.data, quals.ctypes.data, lens.ctypes.data,
+        name_buf, name_cap, name_off.ctypes.data, ctypes.byref(consumed))
+    names = []
+    raw = name_buf.raw
+    for i in range(nr):
+        o = int(name_off[i])
+        names.append(raw[o:raw.index(b"\0", o)].decode())
+    return names, codes[:nr], quals[:nr], lens[:nr], int(consumed.value)

@@ -339,6 +339,16 @@ def _accumulate_tallies(tallies: np.ndarray, h: ReadHit,
             i += num
 
 
+def _traceback(emis_np, window, cfg):
+    """Native C++ traceback when available (12x NumPy), bit-identical to
+    oracle.nw_align (property-tested in tests/test_native.py)."""
+    from gnumap_tpu.native import lib as native_lib
+    if native_lib.available():
+        return native_lib.nw_traceback(
+            emis_np, window, cfg.gap_open_q(), cfg.gap_extend_q(), NEG_INF)
+    return oracle.nw_align(emis_np, window, cfg, traceback=True)
+
+
 def finish_read(genome: Genome, cfg: MapperConfig, strand_rows
                 ) -> List[ReadHit]:
     """Threshold + traceback + dedupe + posterior for one read.
@@ -360,8 +370,7 @@ def finish_read(genome: Genome, cfg: MapperConfig, strand_rows
         emis_np = strand_rows[strand][4]
         win_start = cfg.window_start(cand)
         window = _window_np(genome.codes, win_start, W)
-        sc2, pos_in_w, cigar, ref_len = oracle.nw_align(
-            emis_np, window, cfg, traceback=True)
+        sc2, pos_in_w, cigar, ref_len = _traceback(emis_np, window, cfg)
         pos = win_start + pos_in_w
         key = (strand, pos)
         if key not in best or sc2 > best[key].score:

@@ -1,0 +1,98 @@
+"""Native C++ host runtime vs frozen oracle (SURVEY.md §2 native rows)."""
+
+import numpy as np
+import pytest
+
+from gnumap_tpu.align import scoring
+from gnumap_tpu.config import NEG_INF, MapperConfig
+from gnumap_tpu.core import pwm
+from gnumap_tpu.native import lib as nl
+from gnumap_tpu.oracle import oracle
+
+pytestmark = pytest.mark.skipif(not nl.available(),
+                                reason="native lib not built")
+
+
+def test_nw_traceback_matches_oracle():
+    cfg = MapperConfig()
+    rng = np.random.default_rng(0)
+    for _ in range(60):
+        L = int(rng.integers(8, 105))
+        W = int(rng.integers(L, L + 40))
+        codes = rng.integers(0, 4, L).astype(np.int8)
+        pq = pwm.pwm_from_calls(codes, rng.integers(5, 41, L))
+        emis = scoring.emission_int(pq, scoring.normal_matrix(cfg))
+        window = rng.integers(0, 5, W).astype(np.int8)
+        got = nl.nw_traceback(emis, window, cfg.gap_open_q(),
+                              cfg.gap_extend_q(), NEG_INF)
+        exp = oracle.nw_align(emis, window, cfg, traceback=True)
+        assert got == exp
+
+
+def test_nw_traceback_indel_case():
+    cfg = MapperConfig(max_read_len=40)
+    rng = np.random.default_rng(5)
+    g = rng.integers(0, 4, 60).astype(np.int8)
+    read = np.concatenate([g[10:25], g[26:41]])          # 1bp deletion
+    pq = pwm.pwm_from_calls(read, np.full(30, 40))
+    emis = scoring.emission_int(pq, scoring.normal_matrix(cfg))
+    got = nl.nw_traceback(emis, g, cfg.gap_open_q(), cfg.gap_extend_q(),
+                          NEG_INF)
+    exp = oracle.nw_align(emis, g, cfg, traceback=True)
+    assert got == exp
+    assert "D" in got[2]
+
+
+def test_emission_matches():
+    cfg = MapperConfig(bisulfite=True)
+    rng = np.random.default_rng(1)
+    Sp, Sm = scoring.matrices_for_mode(cfg)
+    for S in (Sp, Sm):
+        pq = pwm.pwm_from_calls(rng.integers(0, 5, 80).astype(np.int8),
+                                rng.integers(2, 41, 80))
+        assert np.array_equal(nl.emission_int(pq, S),
+                              scoring.emission_int(pq, S))
+
+
+def test_parse_fastq_chunk_boundaries():
+    recs = []
+    rng = np.random.default_rng(2)
+    for i in range(50):
+        L = int(rng.integers(5, 30))
+        seq = "".join("ACGTN"[c] for c in rng.integers(0, 5, L))
+        qual = "".join(chr(33 + int(q)) for q in rng.integers(0, 40, L))
+        recs.append(f"@read_{i} extra stuff\n{seq}\n+\n{qual}\n")
+    blob = "".join(recs).encode()
+    # feed in awkward chunk sizes; carry tails like the streaming reader
+    names_all = []
+    tail = b""
+    pos = 0
+    while pos < len(blob) or tail:
+        chunk = tail + blob[pos:pos + 97]
+        pos += 97
+        names, codes, quals, lens, consumed = nl.parse_fastq_chunk(
+            chunk, 100, 32, 33, is_final=(pos >= len(blob)))
+        names_all.extend(names)
+        tail = chunk[consumed:]
+        if pos >= len(blob) and consumed == 0:
+            break
+    assert names_all == [f"read_{i}" for i in range(50)]
+
+
+def test_native_batch_reader_equals_python(tmp_path, small_cfg):
+    from gnumap_tpu.io import fastq as io_fastq
+    from gnumap_tpu.utils import sim
+    g = sim.random_genome(2000, seed=3)
+    reads = sim.simulate_reads(g, 70, 36, seed=4, contig="c")
+    path = tmp_path / "r.fastq"
+    sim.write_fastq(str(path), reads)
+    py = list(io_fastq.batch_reads(io_fastq.iter_fastq(str(path), small_cfg),
+                                   small_cfg))
+    nat = list(io_fastq.batch_reads_native(str(path), small_cfg))
+    assert len(py) == len(nat)
+    for a, b in zip(py, nat):
+        assert a.names == b.names
+        assert np.array_equal(a.codes, b.codes)
+        assert np.array_equal(a.pwm_q, b.pwm_q)
+        assert np.array_equal(a.lens, b.lens)
+        assert np.array_equal(a.quals, b.quals)
