@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 import time
 from typing import Dict, Iterable, List, Optional, Tuple
 
@@ -236,12 +237,18 @@ class TpuMapper:
     # ------------------------------------------------------------------
     # Host finishing
     # ------------------------------------------------------------------
-    def map_batch(self, batch: ReadBatch,
-                  stats: Optional[BatchStats] = None) -> List[List[ReadHit]]:
+    def submit(self, batch: ReadBatch):
+        """Dispatch the device program asynchronously (XLA async dispatch);
+        pair with finish().  Enables device/host pipelining in map_stream
+        (the reference's SeqManager double-buffering analog)."""
+        return self._map_jit(jnp.asarray(batch.codes),
+                             jnp.asarray(batch.pwm_q),
+                             jnp.asarray(batch.lens))
+
+    def finish(self, batch: ReadBatch, dev_out,
+               stats: Optional[BatchStats] = None) -> List[List[ReadHit]]:
         t0 = time.perf_counter()
-        outputs = jax.device_get(
-            self._map_jit(jnp.asarray(batch.codes), jnp.asarray(batch.pwm_q),
-                          jnp.asarray(batch.lens)))
+        outputs = jax.device_get(dev_out)
         t1 = time.perf_counter()
         out = host_finish(self.genome, self.S_plus_np, self.S_minus_np,
                           self.cfg, batch, *outputs)
@@ -251,6 +258,10 @@ class TpuMapper:
             _update_stats(stats, self.cfg, batch, out, valid,
                           t1 - t0, t2 - t1)
         return out
+
+    def map_batch(self, batch: ReadBatch,
+                  stats: Optional[BatchStats] = None) -> List[List[ReadHit]]:
+        return self.finish(batch, self.submit(batch), stats)
 
 
 def _window_np(g_codes: np.ndarray, start: int, width: int) -> np.ndarray:
@@ -289,8 +300,22 @@ def map_stream(mapper: TpuMapper, batches: Iterable[ReadBatch],
         elif collect_sam:
             sam_lines.append(line)
 
-    for batch in batches:
-        hits_per_read = mapper.map_batch(batch, stats)
+    def results():
+        """Double-buffer: submit batch i+1 before finishing batch i."""
+        prev = None
+        for batch in batches:
+            fut = mapper.submit(batch) if hasattr(mapper, "submit") else None
+            if prev is not None:
+                pb, pf = prev
+                yield pb, (mapper.finish(pb, pf, stats) if pf is not None
+                           else mapper.map_batch(pb, stats))
+            prev = (batch, fut)
+        if prev is not None:
+            pb, pf = prev
+            yield pb, (mapper.finish(pb, pf, stats) if pf is not None
+                       else mapper.map_batch(pb, stats))
+
+    for batch, hits_per_read in results():
         for b, hits in enumerate(hits_per_read):
             L = int(batch.lens[b])
             codes = batch.codes[b, :L]
@@ -383,32 +408,61 @@ def finish_read(genome: Genome, cfg: MapperConfig, strand_rows
     return hits
 
 
+_FINISH_POOL = None
+
+
+def _finish_pool():
+    global _FINISH_POOL
+    if _FINISH_POOL is None:
+        import concurrent.futures
+        n = min(4, max(1, (os.cpu_count() or 2)))
+        _FINISH_POOL = concurrent.futures.ThreadPoolExecutor(n)
+    return _FINISH_POOL
+
+
 def host_finish(genome: Genome, S_plus_np, S_minus_np, cfg: MapperConfig,
                 batch: ReadBatch, cands, valid, scores, max_sc
                 ) -> List[List[ReadHit]]:
     """Per-read host finishing over canonical-layout device outputs
-    (row b = '+' strand of read b, row b + B = '-' strand)."""
+    (row b = '+' strand of read b, row b + B = '-' strand).
+
+    Vectorized retention pre-pass (NumPy) selects the reads that need a
+    traceback; those are finished on a thread pool (the native C++
+    traceback releases the GIL) — the reference's worker-pthread analog
+    for the host-side tail of the pipeline.
+    """
     B = batch.codes.shape[0]
-    out: List[List[ReadHit]] = []
-    for b in range(batch.n):
+    n = batch.n
+    # vectorized retention over the whole batch (exact integer rational,
+    # same as MapperConfig.threshold_for)
+    from gnumap_tpu.config import RATIO_BITS
+    thr = (cfg.ratio_q() * max_sc.astype(np.int64)
+           + (1 << RATIO_BITS) - 1) >> RATIO_BITS
+    keep = valid & (scores >= thr[:, None]) & (scores > 0)
+    any_keep = keep.any(axis=1)
+    need = np.nonzero(any_keep[:B][:n] | any_keep[B:B + n])[0]
+
+    out: List[List[ReadHit]] = [[] for _ in range(n)]
+
+    def work(b: int):
+        L = int(batch.lens[b])
+        p_np = batch.pwm_q[b, :L]
         rows = {}
-        need_tb = False
         for si, strand in ((0, "+"), (1, "-")):
             r = b + si * B
-            thr = cfg.threshold_for(int(max_sc[r]))
-            if np.any(valid[r] & (scores[r] >= thr) & (scores[r] > 0)):
-                need_tb = True
-            rows[strand] = [cands[r], valid[r], scores[r], max_sc[r], None]
-        if need_tb:
-            L = int(batch.lens[b])
-            p_np = batch.pwm_q[b, :L]
-            rows["+"][4] = scoring.emission_int(p_np, S_plus_np)
-            rows["-"][4] = scoring.emission_int(
-                pwm_mod.pwm_revcomp(p_np), S_minus_np)
-            out.append(finish_read(
-                genome, cfg, {k: tuple(v) for k, v in rows.items()}))
-        else:
-            out.append([])
+            rows[strand] = (cands[r], valid[r], scores[r], max_sc[r],
+                            scoring.emission_int(
+                                p_np if strand == "+" else
+                                pwm_mod.pwm_revcomp(p_np),
+                                S_plus_np if strand == "+" else S_minus_np))
+        return b, finish_read(genome, cfg, rows)
+
+    if len(need) > 64:
+        for b, hits in _finish_pool().map(work, need.tolist()):
+            out[b] = hits
+    else:
+        for b in need.tolist():
+            out[b] = work(b)[1]
     return out
 
 
