@@ -16,6 +16,7 @@ from __future__ import annotations
 import argparse
 import itertools
 import json
+import os
 import sys
 import time
 
@@ -63,7 +64,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-sgr", action="store_true")
     p.add_argument("--save-index", default=None,
                    help="write the built index to this .npz and exit")
-    p.add_argument("--align-impl", choices=["jnp", "pallas"], default="jnp")
+    p.add_argument("--align-impl", choices=["jnp", "pallas", "auto"],
+                   default="auto",
+                   help="DP kernel: Pallas on TPU, jnp elsewhere (auto)")
+    p.add_argument("--checkpoint", default=None,
+                   help="stream-state checkpoint file; resumes if present")
+    p.add_argument("--checkpoint-every", type=int, default=16,
+                   help="checkpoint every N batches")
     p.add_argument("-v", "--verbose", action="store_true",
                    help="per-batch JSONL stats on stderr (ref -v)")
     return p
@@ -142,16 +149,39 @@ def main(argv=None) -> int:
                           "seconds": round(t_index, 3)}))
         return 0
 
-    m = pl.TpuMapper(genome, index, cfg, align_impl=args.align_impl)
+    impl = args.align_impl
+    if impl == "auto":
+        import jax
+        impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    m = pl.TpuMapper(genome, index, cfg, align_impl=impl)
     sam_path = args.output + ".sam"
-    sam_f = open(sam_path, "w") if cfg.sam_out else None
-    if sam_f:
-        sam_io.write_header(sam_f, genome.names, genome.lengths,
-                            cmd=" ".join(sys.argv))
+    sam_f = None
+    if cfg.sam_out:
+        resuming = bool(args.checkpoint and os.path.exists(args.checkpoint))
+        sam_f = open(sam_path, "r+" if resuming and
+                     os.path.exists(sam_path) else "w+")
+        if not resuming or sam_f.seek(0, 2) == 0:
+            sam_f.seek(0)
+            sam_io.write_header(sam_f, genome.names, genome.lengths,
+                                cmd=" ".join(sys.argv))
+    cb = None
+    if args.verbose:
+        def cb(idx, s):
+            print(json.dumps({
+                "event": "batch", "batch": idx, "reads": s.n_reads,
+                "mapped": s.n_mapped, "multi": s.n_multi,
+                "candidates_per_read": round(
+                    s.n_candidates / max(1, s.n_reads), 2),
+                "dp_cells": s.dp_cells,
+                "device_s": round(s.device_s, 3),
+                "host_s": round(s.host_s, 3)}), file=sys.stderr)
     t1 = time.perf_counter()
     res = pl.map_stream(
         m, batch_stream(args.reads, cfg),
-        collect_sam=False, sam_file=sam_f)
+        collect_sam=False, sam_file=sam_f,
+        checkpoint_path=args.checkpoint,
+        checkpoint_every=args.checkpoint_every,
+        batch_callback=cb)
     t_map = time.perf_counter() - t1
     if sam_f:
         sam_f.close()

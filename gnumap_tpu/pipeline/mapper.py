@@ -285,7 +285,16 @@ class MapResult:
 
 
 def map_stream(mapper: TpuMapper, batches: Iterable[ReadBatch],
-               collect_sam: bool = True, sam_file=None) -> MapResult:
+               collect_sam: bool = True, sam_file=None,
+               checkpoint_path: Optional[str] = None,
+               checkpoint_every: int = 16,
+               batch_callback=None) -> MapResult:
+    """Map a batch stream.  With ``checkpoint_path``, stream state is saved
+    every ``checkpoint_every`` batches and a restart resumes after the last
+    checkpointed batch (SAM truncated to the recorded offset);
+    ``batch_callback(idx, stats)`` fires after each batch (observability /
+    fault-injection hook)."""
+    from gnumap_tpu.pipeline import checkpoint as ckpt_mod
     cfg = mapper.cfg
     gen = mapper.genome
     coverage = np.zeros(len(gen.codes), dtype=np.float64)
@@ -293,6 +302,19 @@ def map_stream(mapper: TpuMapper, batches: Iterable[ReadBatch],
                if cfg.snp_mode else None)
     sam_lines: List[str] = []
     stats = BatchStats()
+    start_batch = 0
+    if checkpoint_path:
+        state = ckpt_mod.load(checkpoint_path)
+        if state is not None:
+            coverage = state.coverage.astype(np.float64).copy()
+            if state.tallies is not None and tallies is not None:
+                tallies = state.tallies.astype(np.float64).copy()
+            stats = state.stats
+            start_batch = state.batches_done
+            if sam_file is not None and sam_file.seekable():
+                sam_file.seek(state.sam_offset)
+                sam_file.truncate()
+        batches = (b for i, b in enumerate(batches) if i >= start_batch)
 
     def emit(line: str):
         if sam_file is not None:
@@ -315,6 +337,7 @@ def map_stream(mapper: TpuMapper, batches: Iterable[ReadBatch],
             yield pb, (mapper.finish(pb, pf, stats) if pf is not None
                        else mapper.map_batch(pb, stats))
 
+    batch_idx = start_batch
     for batch, hits_per_read in results():
         for b, hits in enumerate(hits_per_read):
             L = int(batch.lens[b])
@@ -344,6 +367,16 @@ def map_stream(mapper: TpuMapper, batches: Iterable[ReadBatch],
                         batch.names[b], flag, gen.names[int(ci)], int(off),
                         sam_io.mapq_from_weight(h.weight), h.cigar,
                         oseq, oqual, h.score, h.weight))
+        batch_idx += 1
+        if checkpoint_path and batch_idx % checkpoint_every == 0:
+            off = 0
+            if sam_file is not None:
+                sam_file.flush()
+                off = sam_file.tell()
+            ckpt_mod.save(checkpoint_path, ckpt_mod.StreamState(
+                batch_idx, coverage, tallies, stats, off))
+        if batch_callback is not None:
+            batch_callback(batch_idx, stats)
     return MapResult(coverage, tallies, sam_lines, stats)
 
 
