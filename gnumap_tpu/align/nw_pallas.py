@@ -48,8 +48,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gnumap_tpu.config import NEG_INF
 
-RPT = 8             # read-strands per grid tile
-TPC = 8             # candidate slots per read per tile
+SUBLANES = 64       # read-strands x candidate slots per grid tile
+RPT = 8             # default read-strands per tile (tunable; x TPC = 64)
 SENTINEL = 2 ** 31 - 1
 BASES_PER_WORD = 8  # 4-bit packing
 
@@ -107,25 +107,27 @@ def _cummax_lanes(x, wp):
     return x
 
 
-def _bcast_col(col8):
-    """(8, 1) per-read column -> (64, 1): sublane 8c + r gets read r's value
-    (tile-style sublane repeat matches the candidate-major layout)."""
-    return pltpu.repeat(col8, TPC, axis=0)
+def _bcast_col(col, tpc):
+    """(rpt, 1) per-read column -> (64, 1): sublane tpc*c + r gets read r's
+    value (tile-style sublane repeat matches the candidate-major layout)."""
+    return pltpu.repeat(col, tpc, axis=0)
 
 
 def _nw_kernel(skip_ref, rows_ref, win8_ref, out_ref,
                m_ref, ix_ref, iy_ref, *,
-               L: int, W: int, Wp: int, open_q: int, ext_q: int):
-    """One tile: RPT reads x TPC candidate slots.
+               L: int, W: int, Wp: int, open_q: int, ext_q: int,
+               rpt: int):
+    """One tile: rpt reads x tpc candidate slots (rpt*tpc = 64).
 
     skip_ref: SMEM (1, 1, 1, 1)       1 = all slots sentinel, skip tile
-    rows_ref: VMEM (1, Lp, RPT, 8)    per-(row, read): lanes 0..4 emission,
+    rows_ref: VMEM (1, Lp, rpt, 8)    per-(row, read): lanes 0..4 emission,
                                       lane 5 gap-open_i, lane 6 gap-ext_i
     win8_ref: VMEM (1, 1, 64, Wp) int8 window codes (5 = masked/N-pad)
-    out_ref:  VMEM (1, 1, 1, 64)      scores, sublane order s = 8c + r
+    out_ref:  VMEM (1, 1, 1, 64)      scores, sublane order s = tpc*c + r
     m/ix/iy:  VMEM (64, Wp) int32 scratch — DP state, lane j = column j+1
     """
-    S = RPT * TPC
+    S = SUBLANES
+    tpc = S // rpt
 
     @pl.when(skip_ref[0, 0, 0, 0] == 1)
     def _():
@@ -143,12 +145,13 @@ def _nw_kernel(skip_ref, rows_ref, win8_ref, out_ref,
 
         def row(i, carry):
             m0, ix0 = carry                      # (S, 1) column-0 state
-            slab = rows_ref[0, i]                # (RPT, 8)
-            opn = _bcast_col(slab[:, 5:6])       # (S, 1)
-            ext = _bcast_col(slab[:, 6:7])
+            slab = rows_ref[0, i]                # (rpt, 8)
+            opn = _bcast_col(slab[:, 5:6], tpc)  # (S, 1)
+            ext = _bcast_col(slab[:, 6:7], tpc)
             e = jnp.full((S, Wp), NEG_INF, dtype=jnp.int32)
             for v in range(5):
-                e = jnp.where(win == v, _bcast_col(slab[:, v:v + 1]), e)
+                e = jnp.where(win == v, _bcast_col(slab[:, v:v + 1], tpc),
+                              e)
             M, Ix, Iy = m_ref[:, :], ix_ref[:, :], iy_ref[:, :]
             prev_best = jnp.maximum(jnp.maximum(M, Ix), Iy)
             diag = _shift_right_fill(prev_best, jnp.maximum(m0, ix0))
@@ -180,11 +183,11 @@ def _nw_kernel(skip_ref, rows_ref, win8_ref, out_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("L", "W", "slack", "open_q", "ext_q",
-                                    "interpret"))
+                                    "interpret", "rpt"))
 def nw_scores_pallas(emis_t: jax.Array, cands: jax.Array, lens: jax.Array,
                      genome_words: jax.Array, *, L: int, W: int, slack: int,
                      open_q: int, ext_q: int,
-                     interpret: bool = False) -> jax.Array:
+                     interpret: bool = False, rpt: int = RPT) -> jax.Array:
     """Scores for every (read-strand, candidate) pair.
 
     emis_t:       int32[B2, 5, L]  emission tables, code-major
@@ -194,19 +197,22 @@ def nw_scores_pallas(emis_t: jax.Array, cands: jax.Array, lens: jax.Array,
     returns:      int32[B2, C]     alignment scores (NEG_INF at sentinels)
     """
     B2, C = cands.shape
-    assert C % TPC == 0, "max_candidates must be a multiple of TPC"
+    TPC = SUBLANES // rpt
+    RPT_ = rpt
+    assert SUBLANES % rpt == 0
+    assert C % TPC == 0, "max_candidates must be a multiple of 64/rpt"
     assert W % BASES_PER_WORD == 0
     Wp = _round_up(W, 128)
     Lp = _round_up(L, 8)
     Gw = genome_words.shape[0]
-    # pad the read axis to a multiple of RPT
-    B2p = _round_up(B2, RPT)
+    # pad the read axis to a multiple of rpt
+    B2p = _round_up(B2, RPT_)
     if B2p != B2:
         emis_t = jnp.pad(emis_t, ((0, B2p - B2), (0, 0), (0, 0)))
         cands = jnp.pad(cands, ((0, B2p - B2), (0, 0)),
                         constant_values=SENTINEL)
         lens = jnp.pad(lens, (0, B2p - B2))
-    G8 = B2p // RPT
+    G8 = B2p // RPT_
     nt = C // TPC
     nw = Wp // BASES_PER_WORD
 
@@ -217,7 +223,7 @@ def nw_scores_pallas(emis_t: jax.Array, cands: jax.Array, lens: jax.Array,
                < lens[:, None])                       # (B2p, Lp)
     rows = rows.at[:, :, 5].set(jnp.where(in_read, open_q, 0))
     rows = rows.at[:, :, 6].set(jnp.where(in_read, ext_q, 0))
-    rows = rows.reshape(G8, RPT, Lp, 8).transpose(0, 2, 1, 3)  # (G8,Lp,RPT,8)
+    rows = rows.reshape(G8, RPT_, Lp, 8).transpose(0, 2, 1, 3)
 
     # --- windows: word gather + nibble unpack, candidate-major sublanes ---
     safe = jnp.where(cands == SENTINEL, 0, cands)
@@ -229,40 +235,40 @@ def nw_scores_pallas(emis_t: jax.Array, cands: jax.Array, lens: jax.Array,
     win8 = ((rep >> sub) & 0xF).astype(jnp.int8)
     # sentinel slots: poison with code 5 so they can never score > NEG_INF
     win8 = jnp.where((cands == SENTINEL)[:, :, None], jnp.int8(5), win8)
-    # (B2p, C, Wp) -> (G8, RPT, nt, TPC, Wp) -> (G8, nt, TPC, RPT, Wp)
-    win8 = win8.reshape(G8, RPT, nt, TPC, Wp).transpose(0, 2, 3, 1, 4)
-    win8 = win8.reshape(G8, nt, RPT * TPC, Wp)
+    # (B2p, C, Wp) -> (G8, rpt, nt, TPC, Wp) -> (G8, nt, TPC, rpt, Wp)
+    win8 = win8.reshape(G8, RPT_, nt, TPC, Wp).transpose(0, 2, 3, 1, 4)
+    win8 = win8.reshape(G8, nt, SUBLANES, Wp)
 
     # --- per-tile skip flags ---
-    tile_valid = (cands != SENTINEL).reshape(G8, RPT, nt, TPC)
+    tile_valid = (cands != SENTINEL).reshape(G8, RPT_, nt, TPC)
     skip = jnp.logical_not(tile_valid.any(axis=(1, 3))).astype(jnp.int32)
     skip = skip.reshape(G8, nt, 1, 1)
 
     kernel = functools.partial(
-        _nw_kernel, L=L, W=W, Wp=Wp, open_q=open_q, ext_q=ext_q)
+        _nw_kernel, L=L, W=W, Wp=Wp, open_q=open_q, ext_q=ext_q, rpt=rpt)
     scores = pl.pallas_call(
         kernel,
         grid=(G8, nt),
         in_specs=[
             pl.BlockSpec((1, 1, 1, 1), lambda g, t: (g, t, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, Lp, RPT, 8), lambda g, t: (g, 0, 0, 0),
+            pl.BlockSpec((1, Lp, RPT_, 8), lambda g, t: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, RPT * TPC, Wp), lambda g, t: (g, t, 0, 0),
+            pl.BlockSpec((1, 1, SUBLANES, Wp), lambda g, t: (g, t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, 1, RPT * TPC),
+        out_specs=pl.BlockSpec((1, 1, 1, SUBLANES),
                                lambda g, t: (g, t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((G8, nt, 1, RPT * TPC), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((G8, nt, 1, SUBLANES), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((RPT * TPC, Wp), jnp.int32),
-            pltpu.VMEM((RPT * TPC, Wp), jnp.int32),
-            pltpu.VMEM((RPT * TPC, Wp), jnp.int32),
+            pltpu.VMEM((SUBLANES, Wp), jnp.int32),
+            pltpu.VMEM((SUBLANES, Wp), jnp.int32),
+            pltpu.VMEM((SUBLANES, Wp), jnp.int32),
         ],
         interpret=interpret,
     )(skip, rows, win8)
-    # (G8, nt, 1, TPC*RPT) -> sublane s = TPC-major: s = 8c + r
-    scores = scores.reshape(G8, nt, TPC, RPT).transpose(0, 3, 1, 2)
+    # (G8, nt, 1, TPC*rpt) -> sublane s = tpc-major: s = tpc*c + r
+    scores = scores.reshape(G8, nt, TPC, RPT_).transpose(0, 3, 1, 2)
     scores = scores.reshape(B2p, C)[:B2]
     return jnp.where(cands[:B2] != SENTINEL, scores, NEG_INF)

@@ -54,6 +54,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--mismatch", type=float, default=-1.0)
     p.add_argument("-S", "--subst-file", default=None,
                    help="4x4 whitespace substitution matrix file (ref -S)")
+    p.add_argument("--adaptor", default=None,
+                   help="3' adaptor sequence to trim (ref adaptor flag)")
     p.add_argument("-b", "--bisulfite", action="store_true",
                    help="bisulfite C->T asymmetric scoring (GNUMAP-bs)")
     p.add_argument("--snp", action="store_true",
@@ -102,27 +104,34 @@ def config_from_args(args) -> MapperConfig:
         sgrex_out=args.snp)
 
 
-def read_stream(paths, cfg):
+def read_stream(paths, cfg, adaptor=None):
     its = []
     for path in paths:
         if path.endswith(("_prb.txt", ".prb")):
             its.append(io_fastq.iter_prb(path, cfg))
+        elif path.endswith(("_int.txt", ".int")):
+            its.append(io_fastq.iter_int(path, cfg))
         elif path.endswith((".fa", ".fasta")):
             its.append(io_fastq.iter_fasta_reads(path, cfg))
         else:
             its.append(io_fastq.iter_fastq(path, cfg))
-    return itertools.chain(*its)
+    stream = itertools.chain(*its)
+    if adaptor:
+        stream = io_fastq.apply_adaptor_trim(stream, cfg, adaptor)
+    return stream
 
 
-def batch_stream(paths, cfg):
+def batch_stream(paths, cfg, adaptor=None):
     """Batches, using the native C++ FASTQ fast path where possible."""
     fastqs = [p for p in paths
-              if not p.endswith(("_prb.txt", ".prb", ".fa", ".fasta"))]
-    if len(fastqs) == len(paths):
+              if not p.endswith(("_prb.txt", ".prb", "_int.txt", ".int",
+                                 ".fa", ".fasta"))]
+    if len(fastqs) == len(paths) and not adaptor:
         for path in paths:
             yield from io_fastq.batch_reads_native(path, cfg)
     else:
-        yield from io_fastq.batch_reads(read_stream(paths, cfg), cfg)
+        yield from io_fastq.batch_reads(read_stream(paths, cfg, adaptor),
+                                        cfg)
 
 
 def main(argv=None) -> int:
@@ -177,7 +186,7 @@ def main(argv=None) -> int:
                 "host_s": round(s.host_s, 3)}), file=sys.stderr)
     t1 = time.perf_counter()
     res = pl.map_stream(
-        m, batch_stream(args.reads, cfg),
+        m, batch_stream(args.reads, cfg, args.adaptor),
         collect_sam=False, sam_file=sam_f,
         checkpoint_path=args.checkpoint,
         checkpoint_every=args.checkpoint_every,

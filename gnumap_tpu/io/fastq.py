@@ -74,6 +74,24 @@ def iter_fasta_reads(path: str, cfg: MapperConfig,
                          q.astype(np.int16))
 
 
+def trim_adaptor(codes: np.ndarray, quals: np.ndarray,
+                 adaptor: np.ndarray, min_overlap: int = 4,
+                 max_mismatch_frac: float = 0.1):
+    """3' adaptor trimming (reference SeqReader adaptor-trim flag,
+    SURVEY.md §5 "Config"): truncate at the leftmost position where the
+    read suffix matches a prefix of the adaptor with at most
+    ``max_mismatch_frac`` mismatches (N never matches).  FROZEN."""
+    L, A = len(codes), len(adaptor)
+    for p in range(max(0, L - max(A, L)), L - min_overlap + 1):
+        n = min(L - p, A)
+        seg = codes[p:p + n]
+        ad = adaptor[:n]
+        mism = np.sum((seg != ad) | (seg == 4) | (ad == 4))
+        if mism <= int(max_mismatch_frac * n):
+            return codes[:p], quals[:p]
+    return codes, quals
+
+
 def iter_prb(path: str, cfg: MapperConfig) -> Iterator[ReadRecord]:
     """Illumina ``_prb.txt``: per base, 4 whitespace-separated values per
     position (positions separated by tabs).  Values may be log-odds-like
@@ -96,6 +114,50 @@ def iter_prb(path: str, cfg: MapperConfig) -> Iterator[ReadRecord]:
             q = np.clip(np.round(-10.0 * np.log10(np.maximum(1e-6, 1.0 - pmax))),
                         2, 60).astype(np.int16)
             yield ReadRecord(f"prb_{ln}", codes, pq, q)
+
+
+def iter_int(path: str, cfg: MapperConfig) -> Iterator[ReadRecord]:
+    """Illumina ``_int.txt`` raw intensities: lane/tile/x/y prefix columns
+    followed by tab-separated groups of 4 channel intensities per cycle.
+    Intensities are shifted positive and renormalized into probability rows
+    (same PWM quantization as _prb; reference SeqReader intensity mode
+    [REPO?])."""
+    with open(path) as f:
+        for ln, line in enumerate(f):
+            line = line.strip()
+            if not line:
+                continue
+            groups = [g for g in line.split("\t") if g.strip()]
+            # skip leading metadata columns (single numbers, not 4-tuples)
+            rows = []
+            for g in groups:
+                vals = g.split()
+                if len(vals) == 4:
+                    rows.append([float(v) for v in vals])
+            if not rows:
+                continue
+            arr = np.array(rows)
+            arr = arr - arr.min(axis=-1, keepdims=True)
+            codes = np.argmax(arr, axis=-1).astype(np.int8)
+            pq = pwm_mod.pwm_from_probs(arr)
+            pmax = pq.max(axis=-1) / 4096.0
+            q = np.clip(np.round(-10.0 * np.log10(
+                np.maximum(1e-6, 1.0 - pmax))), 2, 60).astype(np.int16)
+            yield ReadRecord(f"int_{ln}", codes, pq, q)
+
+
+def apply_adaptor_trim(records: Iterator[ReadRecord], cfg: MapperConfig,
+                       adaptor: str) -> Iterator[ReadRecord]:
+    """Wrap a record stream with 3' adaptor trimming."""
+    ad = packing.encode(adaptor)
+    for r in records:
+        codes, quals = trim_adaptor(r.codes, r.quals, ad)
+        if len(codes) != len(r.codes):
+            q = np.asarray(quals, np.int32)
+            r = ReadRecord(r.name, codes,
+                           pwm_mod.pwm_from_calls(codes, q),
+                           quals.astype(np.int16))
+        yield r
 
 
 @dataclasses.dataclass
