@@ -159,3 +159,99 @@ void emission_int(const int32_t* pwm, const int32_t* S, int32_t L,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batched finisher: emission + window + traceback for H retained hits in
+// parallel worker threads (the reference's pthread worker analog for the
+// host tail).  Semantics identical to the per-hit path above.
+// ---------------------------------------------------------------------------
+
+#include <thread>
+#include <atomic>
+
+namespace {
+
+// core DP+traceback shared by nw_traceback and the batch path
+int64_t nw_core(const int32_t* emis, const int8_t* window, int32_t L,
+                int32_t W, int64_t open_q, int64_t ext_q, int64_t neg_inf,
+                char* cigar_out, int32_t cigar_cap, int32_t* pos_in_window,
+                int32_t* ref_len);
+
+}  // namespace
+
+extern "C" {
+
+// strand[h]: 0='+', 1='-'.  genome codes int8 (N=4); window rule:
+// ws = floor((cand - slack)/8)*8, width W; OOB -> N.
+void finish_hits(const int32_t* pwm,      // [B][Lmax][4]
+                 const int32_t* lens,     // [B]
+                 const int8_t* genome, int64_t G,
+                 const int32_t* S_plus, const int32_t* S_minus,  // [4][5]
+                 const int32_t* read_idx, const int8_t* strand,
+                 const int32_t* cand, int32_t H,
+                 int32_t Lmax, int32_t W, int32_t slack,
+                 int64_t open_q, int64_t ext_q, int64_t neg_inf,
+                 int64_t* out_score, int32_t* out_pos,
+                 int32_t* out_ref_len, char* out_cigar,
+                 int32_t cigar_stride, int32_t n_threads) {
+    if (n_threads < 1) n_threads = 1;
+    std::atomic<int32_t> next(0);
+    auto worker = [&]() {
+        std::vector<int32_t> emis((size_t)Lmax * 5);
+        std::vector<int8_t> window(W);
+        for (;;) {
+            int32_t h = next.fetch_add(1);
+            if (h >= H) break;
+            const int32_t b = read_idx[h];
+            const int32_t L = lens[b];
+            const int32_t* p = pwm + (int64_t)b * Lmax * 4;
+            const int32_t* S = strand[h] ? S_minus : S_plus;
+            // emission rows; '-' strand uses the reverse-complemented PWM:
+            // rc_pwm[i][base] = pwm[L-1-i][3-base]
+            for (int32_t i = 0; i < L; ++i) {
+                const int32_t* prow = strand[h]
+                    ? p + (int64_t)(L - 1 - i) * 4 : p + (int64_t)i * 4;
+                for (int32_t g = 0; g < 5; ++g) {
+                    int64_t acc = 0;
+                    for (int32_t bb = 0; bb < 4; ++bb) {
+                        int32_t pv = strand[h] ? prow[3 - bb] : prow[bb];
+                        acc += (int64_t)pv * S[bb * 5 + g];
+                    }
+                    emis[(size_t)i * 5 + g] = (int32_t)acc;
+                }
+            }
+            // window (frozen rule, floor division for negatives)
+            int64_t t = (int64_t)cand[h] - slack;
+            int64_t ws = (t >= 0 ? t / 8 : ((t - 7) / 8)) * 8;
+            for (int32_t j = 0; j < W; ++j) {
+                int64_t gp = ws + j;
+                window[j] = (gp >= 0 && gp < G) ? genome[gp] : (int8_t)4;
+            }
+            int32_t piw = 0, rl = 0;
+            out_score[h] = nw_core(emis.data(), window.data(), L, W,
+                                   open_q, ext_q, neg_inf,
+                                   out_cigar + (int64_t)h * cigar_stride,
+                                   cigar_stride, &piw, &rl);
+            out_pos[h] = (int32_t)(ws + piw);
+            out_ref_len[h] = rl;
+        }
+    };
+    std::vector<std::thread> threads;
+    for (int32_t k = 1; k < n_threads; ++k) threads.emplace_back(worker);
+    worker();
+    for (auto& th : threads) th.join();
+}
+
+}  // extern "C"
+
+namespace {
+
+int64_t nw_core(const int32_t* emis, const int8_t* window, int32_t L,
+                int32_t W, int64_t open_q, int64_t ext_q, int64_t neg_inf,
+                char* cigar_out, int32_t cigar_cap, int32_t* pos_in_window,
+                int32_t* ref_len) {
+    return nw_traceback(emis, window, L, W, open_q, ext_q, neg_inf,
+                        cigar_out, cigar_cap, pos_in_window, ref_len);
+}
+
+}  // namespace

@@ -56,6 +56,18 @@ def get_lib():
         lib.emission_int.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
             ctypes.c_void_p]
+        lib.finish_hits.restype = None
+        lib.finish_hits.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,          # pwm, lens
+            ctypes.c_void_p, ctypes.c_int64,           # genome, G
+            ctypes.c_void_p, ctypes.c_void_p,          # S_plus, S_minus
+            ctypes.c_void_p, ctypes.c_void_p,          # read_idx, strand
+            ctypes.c_void_p, ctypes.c_int32,           # cand, H
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,  # Lmax, W, slack
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # open, ext, neg
+            ctypes.c_void_p, ctypes.c_void_p,          # out score, pos
+            ctypes.c_void_p, ctypes.c_void_p,          # out ref_len, cigar
+            ctypes.c_int32, ctypes.c_int32]            # stride, n_threads
         lib.parse_fastq_chunk.restype = ctypes.c_int32
         lib.parse_fastq_chunk.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
@@ -121,3 +133,47 @@ def parse_fastq_chunk(chunk: bytes, max_reads: int, max_len: int,
         o = int(name_off[i])
         names.append(raw[o:raw.index(b"\0", o)].decode())
     return names, codes[:nr], quals[:nr], lens[:nr], int(consumed.value)
+
+
+CIGAR_STRIDE = 512
+
+
+def finish_hits(pwm_q: np.ndarray, lens: np.ndarray, genome: np.ndarray,
+                S_plus: np.ndarray, S_minus: np.ndarray,
+                read_idx: np.ndarray, strand: np.ndarray,
+                cand: np.ndarray, Lmax: int, W: int, slack: int,
+                open_q: int, ext_q: int, neg_inf: int,
+                n_threads: int = 0):
+    """Batched emission+window+traceback for H hits (worker threads).
+    -> (scores int64[H], pos int32[H], ref_len int32[H], cigars list[str])
+    """
+    import os as _os
+    lib = get_lib()
+    H = len(read_idx)
+    pwm_q = np.ascontiguousarray(pwm_q, np.int32)
+    lens = np.ascontiguousarray(lens, np.int32)
+    genome = np.ascontiguousarray(genome, np.int8)
+    read_idx = np.ascontiguousarray(read_idx, np.int32)
+    strand = np.ascontiguousarray(strand, np.int8)
+    cand = np.ascontiguousarray(cand, np.int32)
+    Sp = np.ascontiguousarray(S_plus, np.int32)
+    Sm = np.ascontiguousarray(S_minus, np.int32)
+    score = np.empty(H, np.int64)
+    pos = np.empty(H, np.int32)
+    rl = np.empty(H, np.int32)
+    cig = np.zeros(H * CIGAR_STRIDE, np.int8)
+    if n_threads <= 0:
+        n_threads = max(1, min(8, _os.cpu_count() or 1))
+    lib.finish_hits(
+        pwm_q.ctypes.data, lens.ctypes.data, genome.ctypes.data,
+        len(genome), Sp.ctypes.data, Sm.ctypes.data,
+        read_idx.ctypes.data, strand.ctypes.data, cand.ctypes.data, H,
+        Lmax, W, slack, open_q, ext_q, neg_inf,
+        score.ctypes.data, pos.ctypes.data, rl.ctypes.data,
+        cig.ctypes.data, CIGAR_STRIDE, n_threads)
+    raw = cig.tobytes()
+    cigars = []
+    for h in range(H):
+        seg = raw[h * CIGAR_STRIDE:(h + 1) * CIGAR_STRIDE]
+        cigars.append(seg[:seg.index(0)].decode())
+    return score, pos, rl, cigars

@@ -483,6 +483,41 @@ def host_finish(genome: Genome, S_plus_np, S_minus_np, cfg: MapperConfig,
 
     out: List[List[ReadHit]] = [[] for _ in range(n)]
 
+    from gnumap_tpu.native import lib as native_lib
+    if len(need) > 16 and native_lib.available():
+        rows_k, cols_k = np.nonzero(keep)
+        sel = (rows_k % B) < n
+        rows_k, cols_k = rows_k[sel], cols_k[sel]
+        read_idx = (rows_k % B).astype(np.int32)
+        strand = (rows_k >= B).astype(np.int8)
+        cand_arr = cands[rows_k, cols_k].astype(np.int32)
+        sc_arr = scores[rows_k, cols_k]
+        scores2, pos_arr, rl_arr, cigars = native_lib.finish_hits(
+            batch.pwm_q, batch.lens, genome.codes, S_plus_np, S_minus_np,
+            read_idx, strand, cand_arr, cfg.max_read_len,
+            cfg.window_width(), cfg.gap_slack, cfg.gap_open_q(),
+            cfg.gap_extend_q(), NEG_INF)
+        # group per read, dedupe by (strand, pos), normalize weights
+        per_read: Dict[int, Dict[Tuple[str, int], ReadHit]] = {}
+        for h in range(len(read_idx)):
+            b = int(read_idx[h])
+            st = "-" if strand[h] else "+"
+            key = (st, int(pos_arr[h]))
+            d = per_read.setdefault(b, {})
+            sc2 = int(scores2[h])
+            if key not in d or sc2 > d[key].score:
+                d[key] = ReadHit(st, int(pos_arr[h]), sc2, 0.0,
+                                 cigars[h], int(rl_arr[h]))
+        for b, d in per_read.items():
+            hits = list(d.values())
+            total = float(sum(hh.score for hh in hits))
+            for hh in hits:
+                hh.weight = hh.score / total
+            hits.sort(key=lambda hh: (hh.pos,
+                                      0 if hh.strand == "+" else 1))
+            out[b] = hits
+        return out
+
     def work(b: int):
         L = int(batch.lens[b])
         p_np = batch.pwm_q[b, :L]
