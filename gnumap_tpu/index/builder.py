@@ -90,6 +90,13 @@ def build_index(genome: Genome, cfg: MapperConfig) -> CsrIndex:
     over the position-ordered stream) — the frozen candidate ordering.
     """
     m = cfg.mer_size
+    if len(genome.codes) > np.iinfo(np.int32).max:
+        raise ValueError("genome too large for int32 CSR offsets; "
+                         "use shard-wise builds (config 5)")
+    from gnumap_tpu.native import lib as native_lib
+    if native_lib.available():
+        bucket_start, positions = native_lib.build_csr_index(genome.codes, m)
+        return CsrIndex(m, bucket_start, positions)
     kmers, valid = packing.kmer_codes(genome.codes, m)
     vk = kmers[valid].astype(np.int64)
     vpos = np.nonzero(valid)[0].astype(np.int32)
@@ -98,6 +105,4 @@ def build_index(genome: Genome, cfg: MapperConfig) -> CsrIndex:
     np.cumsum(counts, out=bucket_start[1:])
     order = np.argsort(vk, kind="stable")
     positions = vpos[order]
-    if bucket_start[-1] > np.iinfo(np.int32).max:
-        raise ValueError("genome too large for int32 CSR offsets")
     return CsrIndex(m, bucket_start.astype(np.int32), positions)

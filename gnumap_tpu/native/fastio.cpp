@@ -9,6 +9,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <vector>
 
 namespace {
 
@@ -93,6 +94,53 @@ int32_t parse_fastq_chunk(const char* buf, int64_t n, int32_t max_reads,
     }
     *consumed = pos;
     return nr;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// CSR k-mer index build (reference Genome::LoadGenome hash-build loop,
+// SURVEY.md §3.2) as a two-pass counting sort: O(G) instead of the
+// O(G log G) argsort fallback.  Produces byte-identical CSR arrays
+// (positions ascending within each bucket).
+//   codes: int8[G] (0..3, 4 = N)
+//   bucket_start: int32[4^m + 1], caller-zeroed
+//   positions: int32[G] capacity
+// Returns number of indexed positions.
+int64_t build_csr_index(const int8_t* codes, int64_t G, int32_t m,
+                        int32_t* bucket_start, int32_t* positions) {
+    const int64_t nb = (int64_t)1 << (2 * m);
+    const uint32_t mask = (uint32_t)(nb - 1);
+    // pass 1: counts (shifted by one: bucket_start[k+1] accumulates count k)
+    uint32_t code = 0;
+    int64_t last_n = -1;              // most recent N position
+    for (int64_t p = 0; p < G; ++p) {
+        int8_t b = codes[p];
+        if (b > 3) { last_n = p; b = 0; }
+        code = ((code << 2) | (uint32_t)b) & mask;
+        int64_t start = p - m + 1;    // k-mer starting position
+        if (start >= 0 && last_n < start)
+            ++bucket_start[code + 1];
+    }
+    // prefix sum
+    for (int64_t k = 0; k < nb; ++k)
+        bucket_start[k + 1] += bucket_start[k];
+    const int64_t total = bucket_start[nb];
+    // pass 2: scatter in position order (keeps buckets ascending);
+    // use a rolling write cursor per bucket stored in a scratch copy
+    std::vector<int32_t> cursor(bucket_start, bucket_start + nb);
+    code = 0;
+    last_n = -1;
+    for (int64_t p = 0; p < G; ++p) {
+        int8_t b = codes[p];
+        if (b > 3) { last_n = p; b = 0; }
+        code = ((code << 2) | (uint32_t)b) & mask;
+        int64_t start = p - m + 1;
+        if (start >= 0 && last_n < start)
+            positions[cursor[code]++] = (int32_t)start;
+    }
+    return total;
 }
 
 }  // extern "C"

@@ -68,6 +68,10 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p,          # out score, pos
             ctypes.c_void_p, ctypes.c_void_p,          # out ref_len, cigar
             ctypes.c_int32, ctypes.c_int32]            # stride, n_threads
+        lib.build_csr_index.restype = ctypes.c_int64
+        lib.build_csr_index.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p]
         lib.parse_fastq_chunk.restype = ctypes.c_int32
         lib.parse_fastq_chunk.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
@@ -177,3 +181,15 @@ def finish_hits(pwm_q: np.ndarray, lens: np.ndarray, genome: np.ndarray,
         seg = raw[h * CIGAR_STRIDE:(h + 1) * CIGAR_STRIDE]
         cigars.append(seg[:seg.index(0)].decode())
     return score, pos, rl, cigars
+
+
+def build_csr_index(codes: np.ndarray, m: int):
+    """O(G) counting-sort CSR build; byte-identical to the NumPy path."""
+    lib = get_lib()
+    codes = np.ascontiguousarray(codes, np.int8)
+    nb = 4 ** m
+    bucket_start = np.zeros(nb + 1, np.int32)
+    positions = np.empty(len(codes), np.int32)
+    n = lib.build_csr_index(codes.ctypes.data, len(codes), m,
+                            bucket_start.ctypes.data, positions.ctypes.data)
+    return bucket_start, positions[:n].copy()
