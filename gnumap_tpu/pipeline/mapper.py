@@ -165,8 +165,10 @@ class TpuMapper:
         self.align_impl = align_impl
         S_plus, S_minus = scoring.matrices_for_mode(cfg)
         self.S_plus_np, self.S_minus_np = S_plus, S_minus
-        # device-resident arrays
-        self.g_codes = jnp.asarray(genome.codes)
+        # device-resident arrays (the dense int8 genome is only needed by
+        # the jnp window-gather path; the pallas path uses g_words)
+        self.g_codes = (jnp.asarray(genome.codes) if align_impl != "pallas"
+                        else None)
         self.bucket_start = jnp.asarray(index.bucket_start)
         self.positions = jnp.asarray(index.positions)
         self.S_plus = jnp.asarray(S_plus)
