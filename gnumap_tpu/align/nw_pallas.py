@@ -113,7 +113,8 @@ def _bcast_col(col, tpc):
     return pltpu.repeat(col, tpc, axis=0)
 
 
-def _nw_kernel(skip_ref, rows_ref, win8_ref, out_ref, *,
+def _nw_kernel(skip_ref, rows_ref, win8_ref, out_ref,
+               m_ref, ix_ref, iy_ref, *,
                L: int, W: int, Wp: int, open_q: int, ext_q: int,
                rpt: int):
     """One tile: rpt reads x tpc candidate slots (rpt*tpc = 64).
@@ -123,9 +124,7 @@ def _nw_kernel(skip_ref, rows_ref, win8_ref, out_ref, *,
                                       lane 5 gap-open_i, lane 6 gap-ext_i
     win8_ref: VMEM (1, 1, 64, Wp) int8 window codes (5 = masked/N-pad)
     out_ref:  VMEM (1, 1, 1, 64)      scores, sublane order s = tpc*c + r
-
-    DP state M/Ix/Iy (64, Wp) rides the fori_loop carry (vregs), not VMEM
-    scratch — no state loads/stores in the row loop.
+    m/ix/iy:  VMEM (64, Wp) int32 scratch — DP state, lane j = column j+1
     """
     S = SUBLANES
     tpc = S // rpt
@@ -140,8 +139,12 @@ def _nw_kernel(skip_ref, rows_ref, win8_ref, out_ref, *,
         win = win8_ref[0, 0].astype(jnp.int32)
         win = jnp.where(lane < W, win, 5)
 
+        m_ref[:, :] = jnp.zeros((S, Wp), jnp.int32)        # M[0][j] = 0
+        ix_ref[:, :] = jnp.full((S, Wp), NEG_INF, jnp.int32)
+        iy_ref[:, :] = jnp.full((S, Wp), NEG_INF, jnp.int32)
+
         def row(i, carry):
-            m0, ix0, M, Ix, Iy = carry
+            m0, ix0 = carry                      # (S, 1) column-0 state
             slab = rows_ref[0, i]                # (rpt, 8)
             opn = _bcast_col(slab[:, 5:6], tpc)  # (S, 1)
             ext = _bcast_col(slab[:, 6:7], tpc)
@@ -149,6 +152,7 @@ def _nw_kernel(skip_ref, rows_ref, win8_ref, out_ref, *,
             for v in range(5):
                 e = jnp.where(win == v, _bcast_col(slab[:, v:v + 1], tpc),
                               e)
+            M, Ix, Iy = m_ref[:, :], ix_ref[:, :], iy_ref[:, :]
             prev_best = jnp.maximum(jnp.maximum(M, Ix), Iy)
             diag = _shift_right_fill(prev_best, jnp.maximum(m0, ix0))
             M_new = jnp.maximum(e + diag, NEG_INF)
@@ -159,19 +163,19 @@ def _nw_kernel(skip_ref, rows_ref, win8_ref, out_ref, *,
             Iy_new = jnp.maximum(
                 _shift_right_fill(pm, NEG_INF) - open_q - lane * ext_q,
                 NEG_INF)
+            m_ref[:, :] = M_new
+            ix_ref[:, :] = Ix_new
+            iy_ref[:, :] = Iy_new
             ix0_new = jnp.maximum(
                 jnp.maximum(m0 - opn, ix0 - ext), NEG_INF)
             m0_new = jnp.full((S, 1), NEG_INF, jnp.int32)
-            return m0_new, ix0_new, M_new, Ix_new, Iy_new
+            return m0_new, ix0_new
 
-        _, ix0_fin, M_fin, Ix_fin, _ = jax.lax.fori_loop(
+        _, ix0_fin = jax.lax.fori_loop(
             0, L, row,
             (jnp.zeros((S, 1), jnp.int32),
-             jnp.full((S, 1), NEG_INF, jnp.int32),
-             jnp.zeros((S, Wp), jnp.int32),          # M[0][j] = 0
-             jnp.full((S, Wp), NEG_INF, jnp.int32),
-             jnp.full((S, Wp), NEG_INF, jnp.int32)))
-        fin = jnp.maximum(M_fin, Ix_fin)
+             jnp.full((S, 1), NEG_INF, jnp.int32)))
+        fin = jnp.maximum(m_ref[:, :], ix_ref[:, :])
         fin = jnp.where(lane < W, fin, NEG_INF)
         out_ref[0, 0, 0, :] = jnp.maximum(
             jnp.max(fin, axis=1), ix0_fin[:, 0]).astype(jnp.int32)
@@ -257,6 +261,11 @@ def nw_scores_pallas(emis_t: jax.Array, cands: jax.Array, lens: jax.Array,
                                lambda g, t: (g, t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((G8, nt, 1, SUBLANES), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((SUBLANES, Wp), jnp.int32),
+            pltpu.VMEM((SUBLANES, Wp), jnp.int32),
+            pltpu.VMEM((SUBLANES, Wp), jnp.int32),
+        ],
         interpret=interpret,
     )(skip, rows, win8)
     # (G8, nt, 1, TPC*rpt) -> sublane s = tpc-major: s = tpc*c + r
