@@ -75,6 +75,10 @@ class MapperConfig:
     batch_size: int = 4096       # reads per device batch
     phred_offset: int = 33
 
+    # --- performance (non-semantic) ---
+    pallas_rpt: int = 32         # Pallas tile shape: reads per tile
+                                 # (x candidate slots = 64 sublanes)
+
     # --- parallelism (reference: -c threads, MPI ranks) ---
     read_shards: int = 1         # mesh axis "reads" (data parallelism)
     index_shards: int = 1        # mesh axis "index" (sharded genome index)

@@ -228,7 +228,7 @@ class TpuMapper:
                 emis2_t, cands[order], lens2[order], self.g_words,
                 L=cfg.max_read_len, W=cfg.window_width(),
                 slack=cfg.gap_slack, open_q=open_q, ext_q=ext_q,
-                interpret=self._interpret)[inv]
+                interpret=self._interpret, rpt=cfg.pallas_rpt)[inv]
         else:
             def chunk_fn(cand_chunk):
                 win = windows_for(jnp.where(cand_chunk == SENTINEL, 0,
