@@ -38,7 +38,7 @@ def build_workload(n_reads, genome_len, batch_size):
 
     cfg = MapperConfig(mer_size=12, seed_jump=5, batch_size=batch_size,
                        max_read_len=104, max_candidates=32,
-                       max_hits_per_seed=32, sam_out=False, sgr_out=False)
+                       max_hits_per_seed=8, sam_out=False, sgr_out=False)
     genome = sim.random_genome(genome_len, seed=0)
     gen = builder.Genome.from_contigs([("ecoli_sim", genome)])
     idx = builder.build_index(gen, cfg)

@@ -23,7 +23,6 @@ collectives inside one shard_map'd device program:
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

@@ -15,7 +15,7 @@ retention thresholds depend only on the read, never on the genome.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 

@@ -10,7 +10,7 @@ rounding.
 from __future__ import annotations
 
 import math
-from typing import IO, List, Sequence
+from typing import IO, Sequence
 
 from gnumap_tpu.config import SCORE_ONE
 

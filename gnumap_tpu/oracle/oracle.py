@@ -40,7 +40,6 @@ FROZEN SEMANTICS (change any of these => regenerate all golden files):
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Dict, List, Tuple
 
 import numpy as np
