@@ -73,6 +73,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="stream-state checkpoint file; resumes if present")
     p.add_argument("--checkpoint-every", type=int, default=16,
                    help="checkpoint every N batches")
+    p.add_argument("-c", "--read-shards", type=int, default=0,
+                   help="data-parallel read shards over devices "
+                        "(0 = single-device; ref -c threads / mpirun -np)")
+    p.add_argument("--index-shards", type=int, default=1,
+                   help="shard the k-mer index over this many devices "
+                        "(genome-partitioned mode)")
     p.add_argument("-v", "--verbose", action="store_true",
                    help="per-batch JSONL stats on stderr (ref -v)")
     return p
@@ -162,7 +168,14 @@ def main(argv=None) -> int:
     if impl == "auto":
         import jax
         impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
-    m = pl.TpuMapper(genome, index, cfg, align_impl=impl)
+    if args.read_shards or args.index_shards > 1:
+        from gnumap_tpu.dist import collectives, mesh as mesh_mod
+        mesh = mesh_mod.make_mesh(args.read_shards or None,
+                                  args.index_shards)
+        m = collectives.DistMapper(genome, index, cfg, mesh,
+                                   align_impl=impl)
+    else:
+        m = pl.TpuMapper(genome, index, cfg, align_impl=impl)
     sam_path = args.output + ".sam"
     sam_f = None
     if cfg.sam_out:
