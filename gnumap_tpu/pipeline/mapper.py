@@ -203,10 +203,12 @@ class TpuMapper:
 
     def _device_map(self, codes, pwm_q, lens):
         cfg = self.cfg
-        codes2, emis2 = strand_expand(codes, pwm_q, lens,
-                                      self.S_plus, self.S_minus)
-        max_sc = nw_ref.max_read_scores(emis2)
-        cands, valid = self._seed(codes2)
+        with jax.named_scope("strand_emission"):
+            codes2, emis2 = strand_expand(codes, pwm_q, lens,
+                                          self.S_plus, self.S_minus)
+            max_sc = nw_ref.max_read_scores(emis2)
+        with jax.named_scope("seed"):
+            cands, valid = self._seed(codes2)
         ck = self.cand_chunk
         nchunk = cfg.max_candidates // ck
         cc = jnp.transpose(
@@ -220,15 +222,16 @@ class TpuMapper:
             # Pack the DP grid: order read-strand rows by candidate count so
             # sentinel bands cluster into skippable tiles (occupancy, not
             # semantics — scores are inverse-permuted back).
-            n_val = jnp.sum(cands != SENTINEL, axis=1)
-            order = jnp.argsort(n_val)
-            inv = jnp.argsort(order)
-            emis2_t = jnp.transpose(emis2, (0, 2, 1))[order]
-            scores = nw_pallas.nw_scores_pallas(
-                emis2_t, cands[order], lens2[order], self.g_words,
-                L=cfg.max_read_len, W=cfg.window_width(),
-                slack=cfg.gap_slack, open_q=open_q, ext_q=ext_q,
-                interpret=self._interpret, rpt=cfg.pallas_rpt)[inv]
+            with jax.named_scope("nw_pallas"):
+                n_val = jnp.sum(cands != SENTINEL, axis=1)
+                order = jnp.argsort(n_val)
+                inv = jnp.argsort(order)
+                emis2_t = jnp.transpose(emis2, (0, 2, 1))[order]
+                scores = nw_pallas.nw_scores_pallas(
+                    emis2_t, cands[order], lens2[order], self.g_words,
+                    L=cfg.max_read_len, W=cfg.window_width(),
+                    slack=cfg.gap_slack, open_q=open_q, ext_q=ext_q,
+                    interpret=self._interpret, rpt=cfg.pallas_rpt)[inv]
         else:
             def chunk_fn(cand_chunk):
                 win = windows_for(jnp.where(cand_chunk == SENTINEL, 0,
