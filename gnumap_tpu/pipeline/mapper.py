@@ -187,28 +187,62 @@ class TpuMapper:
         self.cand_chunk = max(1, min(16, cfg.max_candidates))
         while cfg.max_candidates % self.cand_chunk:
             self.cand_chunk -= 1
-        self._map_jit = jax.jit(self._device_map)
+        # The genome/index arrays are ARGUMENTS of the jitted program, not
+        # closure captures — captured device arrays become HLO constants and
+        # the whole index would be shipped to the compiler on every compile.
+        self._big_args = tuple(a for a in (
+            self.bucket_start, self.positions, self.g_codes, self.g_words,
+            self.S_plus, self.S_minus) if a is not None)
+        self._map_jit_inner = jax.jit(self._device_map_args)
+        self._map_jit = lambda c, p, l: self._map_jit_inner(
+            c, p, l, *self._big_args)
 
     # ------------------------------------------------------------------
     # Device program
     # ------------------------------------------------------------------
-    def _seed(self, codes2):
+    def _seed(self, codes2, bucket_start=None, positions=None):
         """Candidate anchors per (read x strand): int32[B2, C] + valid mask."""
         cfg = self.cfg
+        bucket_start = (self.bucket_start if bucket_start is None
+                        else bucket_start)
+        positions = self.positions if positions is None else positions
         km, bad = seed_kmers(codes2, self.offsets, cfg.mer_size)
-        cand = csr_hits(km, bad, self.bucket_start, self.positions,
+        cand = csr_hits(km, bad, bucket_start, positions,
                         self.offsets, cfg)
         cands = dedupe_cap(cand, cfg.max_candidates)
         return cands, cands != SENTINEL
 
-    def _device_map(self, codes, pwm_q, lens):
+    def _device_map_args(self, codes, pwm_q, lens, *big):
+        """big = the device-resident genome/index arrays in _big_args
+        order (passed as traced args, see __init__)."""
+        it = iter(big)
+        bucket_start = next(it)
+        positions = next(it)
+        g_codes = next(it) if self.g_codes is not None else None
+        g_words = next(it) if self.g_words is not None else None
+        S_plus = next(it)
+        S_minus = next(it)
+        return self._device_map(codes, pwm_q, lens, bucket_start,
+                                positions, g_codes, g_words, S_plus,
+                                S_minus)
+
+    def _device_map(self, codes, pwm_q, lens, bucket_start=None,
+                    positions=None, g_codes=None, g_words=None,
+                    S_plus=None, S_minus=None):
         cfg = self.cfg
+        bucket_start = (self.bucket_start if bucket_start is None
+                        else bucket_start)
+        positions = self.positions if positions is None else positions
+        g_codes = self.g_codes if g_codes is None else g_codes
+        g_words = self.g_words if g_words is None else g_words
+        S_plus = self.S_plus if S_plus is None else S_plus
+        S_minus = self.S_minus if S_minus is None else S_minus
         with jax.named_scope("strand_emission"):
             codes2, emis2 = strand_expand(codes, pwm_q, lens,
-                                          self.S_plus, self.S_minus)
+                                          S_plus, S_minus)
             max_sc = nw_ref.max_read_scores(emis2)
         with jax.named_scope("seed"):
-            cands, valid = self._seed(codes2)
+            cands, valid = self._seed(codes2, bucket_start, positions)
         ck = self.cand_chunk
         nchunk = cfg.max_candidates // ck
         cc = jnp.transpose(
@@ -228,14 +262,14 @@ class TpuMapper:
                 inv = jnp.argsort(order)
                 emis2_t = jnp.transpose(emis2, (0, 2, 1))[order]
                 scores = nw_pallas.nw_scores_pallas(
-                    emis2_t, cands[order], lens2[order], self.g_words,
+                    emis2_t, cands[order], lens2[order], g_words,
                     L=cfg.max_read_len, W=cfg.window_width(),
                     slack=cfg.gap_slack, open_q=open_q, ext_q=ext_q,
                     interpret=self._interpret, rpt=cfg.pallas_rpt)[inv]
         else:
             def chunk_fn(cand_chunk):
                 win = windows_for(jnp.where(cand_chunk == SENTINEL, 0,
-                                            cand_chunk), self.g_codes,
+                                            cand_chunk), g_codes,
                                   cfg)
                 return nw_ref.nw_scores_multi(emis2, win, lens2, open_q,
                                               ext_q)
