@@ -61,9 +61,10 @@ def run_pipeline(cfg, gen, idx, recs, align_impl):
 
     m = pl.TpuMapper(gen, idx, cfg, align_impl=align_impl)
     batches = list(io_fastq.batch_reads(iter(recs), cfg))
-    # warmup/compile on the first batch
-    b0 = batches[0]
-    jax.block_until_ready(m._map_jit(b0.codes, b0.pwm_q, b0.lens))
+    # warmup/compile on the first batch — must include a full host fetch:
+    # the axon tunnel defers real execution + remote program load until the
+    # first device_get (block_until_ready alone does not wait)
+    m.map_batch(batches[0])
     stats = pl.BatchStats()
     t0 = time.perf_counter()
     n_hits = 0

@@ -196,6 +196,11 @@ class TpuMapper:
         self._map_jit_inner = jax.jit(self._device_map_args)
         self._map_jit = lambda c, p, l: self._map_jit_inner(
             c, p, l, *self._big_args)
+        # packed single-output variant: one D2H fetch per batch (the axon
+        # tunnel charges per-array fetch latency)
+        self._map_packed_inner = jax.jit(self._device_map_packed)
+        self._map_packed = lambda c, p, l: self._map_packed_inner(
+            c, p, l, *self._big_args)
 
     # ------------------------------------------------------------------
     # Device program
@@ -225,6 +230,20 @@ class TpuMapper:
         return self._device_map(codes, pwm_q, lens, bucket_start,
                                 positions, g_codes, g_words, S_plus,
                                 S_minus)
+
+    def _device_map_packed(self, codes, pwm_q, lens, *big):
+        """All outputs in ONE int32 blob: [cands | scores | max_sc]."""
+        cands, valid, scores, max_sc = self._device_map_args(
+            codes, pwm_q, lens, *big)
+        return jnp.concatenate(
+            [cands, scores, max_sc[:, None]], axis=1)
+
+    @staticmethod
+    def unpack_blob(blob, C):
+        cands = blob[:, :C]
+        scores = blob[:, C:2 * C]
+        max_sc = blob[:, 2 * C]
+        return cands, cands != SENTINEL, scores, max_sc
 
     def _device_map(self, codes, pwm_q, lens, bucket_start=None,
                     positions=None, g_codes=None, g_words=None,
@@ -286,14 +305,15 @@ class TpuMapper:
         """Dispatch the device program asynchronously (XLA async dispatch);
         pair with finish().  Enables device/host pipelining in map_stream
         (the reference's SeqManager double-buffering analog)."""
-        return self._map_jit(jnp.asarray(batch.codes),
-                             jnp.asarray(batch.pwm_q),
-                             jnp.asarray(batch.lens))
+        return self._map_packed(jnp.asarray(batch.codes),
+                                jnp.asarray(batch.pwm_q),
+                                jnp.asarray(batch.lens))
 
     def finish(self, batch: ReadBatch, dev_out,
                stats: Optional[BatchStats] = None) -> List[List[ReadHit]]:
         t0 = time.perf_counter()
-        outputs = jax.device_get(dev_out)
+        blob = np.asarray(dev_out)
+        outputs = self.unpack_blob(blob, self.cfg.max_candidates)
         t1 = time.perf_counter()
         out = host_finish(self.genome, self.S_plus_np, self.S_minus_np,
                           self.cfg, batch, *outputs)
