@@ -54,8 +54,9 @@ def build_workload(n_reads, genome_len, batch_size):
     return cfg, gen, idx, recs
 
 
-def run_pipeline(cfg, gen, idx, recs, align_impl):
+def run_pipeline(cfg, gen, idx, recs, align_impl, depth=3):
     import jax
+    from collections import deque
     from gnumap_tpu.io import fastq as io_fastq
     from gnumap_tpu.pipeline import mapper as pl
 
@@ -68,9 +69,18 @@ def run_pipeline(cfg, gen, idx, recs, align_impl):
     stats = pl.BatchStats()
     t0 = time.perf_counter()
     n_hits = 0
+    # keep `depth` batches in flight so device round-trips (the axon
+    # tunnel's fixed RTT) overlap host finishing — the map_stream
+    # double-buffer, deepened
+    q = deque()
     for b in batches:
-        hits = m.map_batch(b, stats)
-        n_hits += sum(len(h) for h in hits)
+        q.append((b, m.submit(b)))
+        if len(q) > depth:
+            pb, pf = q.popleft()
+            n_hits += sum(len(h) for h in m.finish(pb, pf, stats))
+    while q:
+        pb, pf = q.popleft()
+        n_hits += sum(len(h) for h in m.finish(pb, pf, stats))
     dt = time.perf_counter() - t0
     return dt, stats, n_hits
 
@@ -95,7 +105,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reads", type=int, default=16384)
     ap.add_argument("--genome-len", type=int, default=4_641_652)
-    ap.add_argument("--batch-size", type=int, default=2048)
+    ap.add_argument("--batch-size", type=int, default=4096)
+    ap.add_argument("--depth", type=int, default=3,
+                    help="batches kept in flight (pipeline depth)")
     ap.add_argument("--no-baseline", action="store_true")
     ap.add_argument("--cpu-baseline", action="store_true")
     args = ap.parse_args()
@@ -121,7 +133,8 @@ def main():
     impl = "pallas" if backend == "tpu" else "jnp"
     cfg, gen, idx, recs = build_workload(args.reads, args.genome_len,
                                          args.batch_size)
-    dt, stats, n_hits = run_pipeline(cfg, gen, idx, recs, impl)
+    dt, stats, n_hits = run_pipeline(cfg, gen, idx, recs, impl,
+                                     depth=args.depth)
     reads_per_s = stats.n_reads / dt
     cells_per_s = stats.dp_cells / max(stats.device_s, 1e-9)
 
