@@ -181,6 +181,309 @@ def _nw_kernel(skip_ref, rows_ref, win8_ref, out_ref,
             jnp.max(fin, axis=1), ix0_fin[:, 0]).astype(jnp.int32)
 
 
+# ---------------------------------------------------------------------------
+# Device-side traceback (SURVEY.md §7 "rescoring winners" — the second pass
+# over retained loci, now on-device instead of the native C++ host finisher)
+# ---------------------------------------------------------------------------
+
+def decode_ops(ops_row: np.ndarray, length: int):
+    """Host-side decode of one hit's kernel ops row -> (cigar, ref_len).
+
+    ops_row[i] = (n_deletions_after_consuming_read_base_i+1 << 1) | op_bit
+    for i in [0, length); op_bit 1 = I, 0 = M.  Forward CIGAR is
+    c_1 D^{d_1} c_2 D^{d_2} ... c_len (no leading/trailing D by
+    construction — the walk starts/ends on a consume)."""
+    row = ops_row[:length]
+    d = row >> 1
+    opb = row & 1
+    n_ins = int(opb.sum())
+    n_del = int(d.sum())
+    if n_ins == 0 and n_del == 0:
+        return f"{length}M", length
+    parts = []
+    run_op, run_n = None, 0
+    for i in range(length):
+        op = "I" if opb[i] else "M"
+        if op == run_op:
+            run_n += 1
+        else:
+            if run_n:
+                parts.append(f"{run_n}{run_op}")
+            run_op, run_n = op, 1
+        if d[i]:
+            parts.append(f"{run_n}{run_op}")
+            parts.append(f"{int(d[i])}D")
+            run_op, run_n = None, 0
+    if run_n:
+        parts.append(f"{run_n}{run_op}")
+    return "".join(parts), (length - n_ins) + n_del
+
+def _cummax_lanes_fill(x, wp, fill):
+    """Inclusive prefix max along lanes with arbitrary fill (log-doubling)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    sh = 1
+    while sh < wp:
+        x = jnp.maximum(x, jnp.where(lane >= sh, pltpu.roll(x, sh, 1), fill))
+        sh *= 2
+    return x
+
+
+def _extract_lane(x, lane_col, fill):
+    """Per-sublane lane extraction: out[s, 0] = x[s, lane_col[s, 0]].
+
+    Vectorized one-hot + row max; lane_col < 0 -> fill."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    v = jnp.max(jnp.where(lane == lane_col, x, fill), axis=1, keepdims=True)
+    return jnp.where(lane_col >= 0, v, fill)
+
+
+def _nw_tb_kernel(skip_ref, rows_ref, win8_ref, ops_ref, jfin_ref,
+                  m_ref, ix_ref, iy_ref, endm_ref, endix_ref, dir_ref, *,
+                  L: int, W: int, Wp: int, Lp: int, Lpp: int,
+                  open_q: int, ext_q: int):
+    """One tile: 64 retained hits, one per sublane.
+
+    Phase 1 (forward): the same frozen DP as _nw_kernel, additionally
+    storing 4 direction bits per cell (row-major in int8 VMEM scratch) and
+    capturing the M/Ix rows + the column-0 Ix ramp at each hit's true last
+    read row (lane 7 of the rows slab flags it), because the oracle's
+    traceback starts at the *unpadded* final row (oracle.nw_align).
+
+    Phase 2 (backwalk): all 64 hits walk back in lockstep, one global DP
+    row per iteration — every active row consumes exactly one read base, so
+    hit h is active exactly on rows len_h..1.  In-row deletion runs (state
+    Iy) resolve in O(1) vector ops via a prefix-max over the stored
+    iy-"open" bits; per-hit dynamic lane reads are one-hot selections.
+
+    dir bits per cell (row i, lane j-1 = column j):
+      bits 0..1: M's diagonal predecessor argmax (0=M 1=Ix 2=Iy, pref order)
+      bit  2:    Ix came from M (1) or Ix (0) above
+      bit  3:    Iy came from M (1, gap-open) or Iy (0, extend) at the left
+    Output per (hit, row i): (n_deletions_after_consume_i << 1) | (1 if the
+    consume was I else 0); j_final = window column of the first aligned
+    genome base (oracle's pos_in_window).
+    """
+    S = SUBLANES
+
+    @pl.when(skip_ref[0, 0, 0, 0] == 1)
+    def _():
+        ops_ref[0] = jnp.zeros((S, Lpp), jnp.int32)
+        jfin_ref[0, 0, 0, :] = jnp.zeros((S,), jnp.int32)
+
+    @pl.when(skip_ref[0, 0, 0, 0] == 0)
+    def _():
+        lane = jax.lax.broadcasted_iota(jnp.int32, (S, Wp), 1)
+        win = win8_ref[0, 0].astype(jnp.int32)
+        win = jnp.where(lane < W, win, 5)
+
+        m_ref[:, :] = jnp.zeros((S, Wp), jnp.int32)
+        ix_ref[:, :] = jnp.full((S, Wp), NEG_INF, jnp.int32)
+        iy_ref[:, :] = jnp.full((S, Wp), NEG_INF, jnp.int32)
+        endm_ref[:, :] = jnp.full((S, Wp), NEG_INF, jnp.int32)
+        endix_ref[:, :] = jnp.full((S, Wp), NEG_INF, jnp.int32)
+
+        # ---- phase 1: forward fill + direction bits ----
+        def row(i, carry):
+            m0, ix0, ix0e = carry                # (S, 1) column-0 state
+            slab = rows_ref[0, i]                # (S, 8)
+            opn = slab[:, 5:6]
+            ext = slab[:, 6:7]
+            endf = slab[:, 7:8] > 0
+            e = jnp.full((S, Wp), NEG_INF, dtype=jnp.int32)
+            for v in range(5):
+                e = jnp.where(win == v, slab[:, v:v + 1], e)
+            M, Ix, Iy = m_ref[:, :], ix_ref[:, :], iy_ref[:, :]
+            m_sh = _shift_right_fill(M, m0)
+            ix_sh = _shift_right_fill(Ix, ix0)
+            prev_best = jnp.maximum(jnp.maximum(M, Ix), Iy)
+            diag = _shift_right_fill(prev_best, jnp.maximum(m0, ix0))
+            m_dir = jnp.where(m_sh == diag, 0,
+                              jnp.where(ix_sh == diag, 1, 2))
+            ix_bit = ((M - opn) >= (Ix - ext)).astype(jnp.int32)
+            M_new = jnp.maximum(e + diag, NEG_INF)
+            Ix_new = jnp.maximum(jnp.maximum(M - opn, Ix - ext), NEG_INF)
+            pm = _cummax_lanes(M_new + (lane + 1) * ext_q, Wp)
+            Iy_new = jnp.maximum(
+                _shift_right_fill(pm, NEG_INF) - open_q - lane * ext_q,
+                NEG_INF)
+            iy_bit = ((_shift_right_fill(M_new, NEG_INF) - open_q)
+                      >= (_shift_right_fill(Iy_new, NEG_INF) - ext_q)
+                      ).astype(jnp.int32)
+            dir_ref[i] = (m_dir | (ix_bit << 2) | (iy_bit << 3)
+                          ).astype(jnp.int8)
+            m_ref[:, :] = M_new
+            ix_ref[:, :] = Ix_new
+            iy_ref[:, :] = Iy_new
+            endm_ref[:, :] = jnp.where(endf, M_new, endm_ref[:, :])
+            endix_ref[:, :] = jnp.where(endf, Ix_new, endix_ref[:, :])
+            ix0_new = jnp.maximum(
+                jnp.maximum(m0 - opn, ix0 - ext), NEG_INF)
+            ix0e = jnp.where(endf, ix0_new, ix0e)
+            m0_new = jnp.full((S, 1), NEG_INF, jnp.int32)
+            return m0_new, ix0_new, ix0e
+
+        neg1 = jnp.full((S, 1), NEG_INF, jnp.int32)
+        _, _, ix0e = jax.lax.fori_loop(
+            0, Lp, row, (jnp.zeros((S, 1), jnp.int32), neg1, neg1))
+
+        # ---- end cell: smallest column on ties, M preferred over Ix ----
+        BIG = jnp.int32(2 ** 30)
+        endm = endm_ref[:, :]
+        endix = endix_ref[:, :]
+        fin = jnp.maximum(endm, endix)
+        fin = jnp.where(lane < W, fin, NEG_INF)
+        best_l = jnp.max(fin, axis=1, keepdims=True)           # (S, 1)
+        end_lane = jnp.min(jnp.where(fin == best_l, lane, BIG),
+                           axis=1, keepdims=True)
+        at0 = ix0e >= best_l            # column 0 wins ties (smallest j)
+        j0 = jnp.where(at0, 0, end_lane + 1)
+        endm_at = _extract_lane(endm, end_lane, NEG_INF)
+        st0 = jnp.where(at0, 1, jnp.where(endm_at >= _extract_lane(
+            endix, end_lane, NEG_INF), 0, 1))
+
+        # ---- phase 2: lockstep backwalk, one global row per step ----
+        ops_ref[0] = jnp.zeros((S, Lpp), jnp.int32)
+        lane_l = jax.lax.broadcasted_iota(jnp.int32, (S, Lpp), 1)
+
+        def back(t, carry):
+            j, st, started = carry               # (S, 1) int32
+            r = Lp - t                           # DP row index (Lp..1)
+            slab = rows_ref[0, r - 1]
+            endf = slab[:, 7:8] > 0
+            init = endf & (started == 0)
+            j = jnp.where(init, j0, j)
+            st = jnp.where(init, st0, st)
+            started = jnp.where(endf, 1, started)
+            active = started == 1
+            d32 = dir_ref[r - 1].astype(jnp.int32)
+            iyb = (d32 >> 3) & 1
+            # deletion-run resolution: nearest "open" bit at or left of j-1
+            vset = jnp.where(iyb == 1, lane, -1)
+            last_set = _cummax_lanes_fill(vset, Wp, -1)
+            c_lane = _extract_lane(last_set, j - 1, -1)
+            is_iy = active & (st == 2)
+            d_cnt = jnp.where(is_iy, j - c_lane, 0)
+            j = jnp.where(is_iy, c_lane, j)
+            st = jnp.where(is_iy, 0, st)
+            # consume this row (st is now M or Ix for all active hits)
+            jl = j - 1
+            mext = _extract_lane(d32 & 3, jl, 0)
+            ixe = _extract_lane((d32 >> 2) & 1, jl, 0)
+            is_m = active & (st == 0)
+            is_i = active & (st == 1)
+            op_bit = jnp.where(is_i, 1, 0)
+            st = jnp.where(is_m, mext,
+                           jnp.where(is_i,
+                                     jnp.where(j == 0, 1,
+                                               jnp.where(ixe == 1, 0, 1)),
+                                     st))
+            j = jnp.where(is_m, j - 1, j)
+            val = jnp.where(active, (d_cnt << 1) | op_bit, 0)
+            ops_ref[0] = ops_ref[0] + jnp.where(lane_l == r - 1, val, 0)
+            return j, st, started
+
+        zc = jnp.zeros((S, 1), jnp.int32)
+        j_fin, _, _ = jax.lax.fori_loop(0, Lp, back, (zc, zc, zc))
+        jfin_ref[0, 0, 0, :] = j_fin[:, 0]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("L", "W", "slack", "open_q", "ext_q",
+                                    "interpret"))
+def nw_traceback_pallas(emis_t: jax.Array, cands: jax.Array, lens: jax.Array,
+                        genome_words: jax.Array, *, L: int, W: int,
+                        slack: int, open_q: int, ext_q: int,
+                        interpret: bool = False):
+    """Exact traceback for H retained hits (one DP + backwalk each).
+
+    emis_t: int32[H, 5, L]   emission table of the hit's read-strand
+    cands:  int32[H]         candidate anchors (SENTINEL = empty slot)
+    lens:   int32[H]         true read lengths
+    returns (ops int32[H, Lp], j_final int32[H]):
+      ops[h, i] = (n_deletions_after_row_i+1 << 1) | (1 if row i+1 was an
+      insertion else 0) for DP rows 1..len; j_final = oracle pos_in_window.
+    Bit-identical to oracle.nw_align(traceback=True) on retained (score>0)
+    hits — property-tested in tests/test_devtb.py.
+    """
+    H = cands.shape[0]
+    assert W % BASES_PER_WORD == 0
+    Wp = _round_up(W, 128)
+    Lp = _round_up(L, 8)
+    Lpp = _round_up(Lp, 128)
+    Gw = genome_words.shape[0]
+    Hp = _round_up(H, SUBLANES)
+    if Hp != H:
+        emis_t = jnp.pad(emis_t, ((0, Hp - H), (0, 0), (0, 0)))
+        cands = jnp.pad(cands, (0, Hp - H), constant_values=SENTINEL)
+        lens = jnp.pad(lens, (0, Hp - H))
+    nt = Hp // SUBLANES
+    nw = Wp // BASES_PER_WORD
+    # sentinel slots never start a backwalk (no end-row flag)
+    lens = jnp.where(cands == SENTINEL, 0, lens)
+
+    # rows slab: lanes 0..4 emission, 5 opn, 6 ext, 7 end-row flag
+    rows = jnp.zeros((Hp, Lp, 8), dtype=jnp.int32)
+    rows = rows.at[:, :L, :5].set(jnp.transpose(emis_t, (0, 2, 1)))
+    ar = jnp.arange(Lp, dtype=jnp.int32)[None, :]
+    in_read = ar < lens[:, None]
+    rows = rows.at[:, :, 5].set(jnp.where(in_read, open_q, 0))
+    rows = rows.at[:, :, 6].set(jnp.where(in_read, ext_q, 0))
+    rows = rows.at[:, :, 7].set((ar == lens[:, None] - 1).astype(jnp.int32))
+    rows = rows.reshape(nt, SUBLANES, Lp, 8).transpose(0, 2, 1, 3)
+
+    safe = jnp.where(cands == SENTINEL, 0, cands)
+    wstart = (window_start(safe, slack) + W) // BASES_PER_WORD
+    widx = wstart[:, None] + jnp.arange(nw, dtype=jnp.int32)
+    words = genome_words[jnp.clip(widx, 0, Gw - 1)]            # (Hp, nw)
+    rep = jnp.repeat(words, BASES_PER_WORD, axis=1)            # (Hp, Wp)
+    sub = (jnp.arange(Wp, dtype=jnp.int32) % BASES_PER_WORD) * 4
+    win8 = ((rep >> sub) & 0xF).astype(jnp.int8)
+    win8 = jnp.where((cands == SENTINEL)[:, None], jnp.int8(5), win8)
+    win8 = win8.reshape(nt, 1, SUBLANES, Wp)
+
+    tile_valid = (cands != SENTINEL).reshape(nt, SUBLANES)
+    skip = jnp.logical_not(tile_valid.any(axis=1)).astype(jnp.int32)
+    skip = skip.reshape(nt, 1, 1, 1)
+
+    kernel = functools.partial(
+        _nw_tb_kernel, L=L, W=W, Wp=Wp, Lp=Lp, Lpp=Lpp,
+        open_q=open_q, ext_q=ext_q)
+    ops, jfin = pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, 1), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Lp, SUBLANES, 8), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, SUBLANES, Wp), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, SUBLANES, Lpp), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, SUBLANES), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nt, SUBLANES, Lpp), jnp.int32),
+            jax.ShapeDtypeStruct((nt, 1, 1, SUBLANES), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((SUBLANES, Wp), jnp.int32),
+            pltpu.VMEM((SUBLANES, Wp), jnp.int32),
+            pltpu.VMEM((SUBLANES, Wp), jnp.int32),
+            pltpu.VMEM((SUBLANES, Wp), jnp.int32),
+            pltpu.VMEM((SUBLANES, Wp), jnp.int32),
+            pltpu.VMEM((Lp, SUBLANES, Wp), jnp.int8),
+        ],
+        interpret=interpret,
+    )(skip, rows, win8)
+    ops = ops.reshape(Hp, Lpp)[:H, :Lp]
+    jfin = jfin.reshape(Hp)[:H]
+    return ops, jfin
+
+
 @functools.partial(jax.jit,
                    static_argnames=("L", "W", "slack", "open_q", "ext_q",
                                     "interpret", "rpt"))

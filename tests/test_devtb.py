@@ -1,0 +1,122 @@
+"""Device-side traceback kernel vs the frozen oracle.
+
+nw_traceback_pallas must reproduce oracle.nw_align(traceback=True) —
+(cigar, pos_in_window, ref_len) — exactly, for every hit the mapper would
+retain (score > 0; the retention filter guarantees the walk never starts
+from a NEG_INF-saturated cell).  Runs in CPU interpret mode here and on the
+real TPU via tests marked tpu (same pattern as tests/test_pallas.py).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from gnumap_tpu.align import nw_pallas, scoring
+from gnumap_tpu.config import MapperConfig
+from gnumap_tpu.core import pwm
+from gnumap_tpu.oracle import oracle
+
+SENT = nw_pallas.SENTINEL
+
+on_tpu = jax.default_backend() == "tpu"
+
+
+def _mk_hits(rng, H, L, G, cfg, indel_rate=0.15):
+    """Random (emission, candidate) pairs biased toward real alignments:
+    half the candidates point at genome locations the read was copied from
+    (with substitutions and occasional indels), so tracebacks exercise
+    M/I/D transitions rather than garbage alignments."""
+    genome = rng.integers(0, 5, G).astype(np.int8)
+    emis = np.zeros((H, L, 5), np.int32)
+    lens = rng.integers(max(4, L // 2), L + 1, H).astype(np.int32)
+    cands = np.full(H, SENT, np.int32)
+    S = scoring.normal_matrix(cfg)
+    for h in range(H):
+        lb = int(lens[h])
+        if h % 8 == 7:
+            continue  # leave a sentinel slot
+        start = int(rng.integers(0, max(1, G - lb)))
+        seq = genome[start:start + lb].copy()
+        seq[seq == 4] = 0
+        # substitutions
+        nsub = rng.integers(0, 3)
+        for _ in range(nsub):
+            p = rng.integers(0, lb)
+            seq[p] = rng.integers(0, 4)
+        # occasional 1-2bp indel in the read copy
+        if rng.random() < indel_rate and lb > 10:
+            p = int(rng.integers(2, lb - 4))
+            k = int(rng.integers(1, 3))
+            if rng.random() < 0.5:
+                seq = np.concatenate([seq[:p], seq[p + k:],
+                                      rng.integers(0, 4, k).astype(np.int8)])
+            else:
+                seq = np.concatenate([rng.integers(0, 4, k).astype(np.int8),
+                                      seq[:p], seq[p:lb - k]])
+            seq = seq[:lb]
+        pq = pwm.pwm_from_calls(seq, rng.integers(15, 41, lb))
+        emis[h, :lb] = scoring.emission_int(pq, S)
+        cands[h] = start
+    return genome, emis, cands, lens
+
+
+def _check(cfg, H, L, G, seed, interpret):
+    rng = np.random.default_rng(seed)
+    genome, emis, cands, lens = _mk_hits(rng, H, L, G, cfg)
+    W = cfg.window_width()
+    gwords = nw_pallas.pad_genome_words(genome, W)
+    emis_t = np.ascontiguousarray(emis.transpose(0, 2, 1))
+    ops, jfin = nw_pallas.nw_traceback_pallas(
+        emis_t, cands, lens, gwords, L=L, W=W, slack=cfg.gap_slack,
+        open_q=cfg.gap_open_q(), ext_q=cfg.gap_extend_q(),
+        interpret=interpret)
+    ops, jfin = np.asarray(ops), np.asarray(jfin)
+    n_checked = n_indel = 0
+    for h in range(H):
+        if cands[h] == SENT:
+            assert not ops[h].any() and jfin[h] == 0
+            continue
+        lb = int(lens[h])
+        ws = int(cfg.window_start(int(cands[h])))
+        window = np.full(W, 4, np.int8)
+        lo, hi = max(ws, 0), min(ws + W, G)
+        if hi > lo:
+            window[lo - ws:hi - ws] = genome[lo:hi]
+        sc, pos_w, cigar, ref_len = oracle.nw_align(
+            emis[h, :lb], window, cfg, traceback=True)
+        if sc <= 0:
+            continue  # the mapper never tracebacks non-retained hits
+        got_cigar, got_rl = nw_pallas.decode_ops(ops[h], lb)
+        assert got_cigar == cigar, (h, got_cigar, cigar)
+        assert got_rl == ref_len, (h, got_rl, ref_len)
+        assert int(jfin[h]) == pos_w, (h, int(jfin[h]), pos_w)
+        n_checked += 1
+        if "D" in cigar or "I" in cigar:
+            n_indel += 1
+    assert n_checked >= H // 2
+    assert n_indel >= 1  # the workload must exercise indel tracebacks
+
+
+def test_devtb_matches_oracle_interpret():
+    _check(MapperConfig(max_read_len=16, gap_slack=4), H=64, L=16, G=300,
+           seed=5, interpret=True)
+
+
+def test_devtb_matches_oracle_interpret_longer():
+    _check(MapperConfig(max_read_len=24, gap_open=2.0), H=128, L=24, G=900,
+           seed=9, interpret=True)
+
+
+@pytest.mark.skipif(not on_tpu, reason="requires TPU (kernel compile)")
+def test_devtb_matches_oracle_tpu():
+    _check(MapperConfig(max_read_len=32), H=128, L=32, G=1200, seed=13,
+           interpret=False)
+
+
+def test_decode_ops_runs():
+    # 3M 2D 2M 1I 1M  ->  rows: M M M(d=2) M M I M
+    ops = np.array([0, 0, (2 << 1), 0, 0, 1, 0], np.int32)
+    cigar, rl = nw_pallas.decode_ops(ops, 7)
+    assert cigar == "3M2D2M1I1M"
+    assert rl == (7 - 1) + 2
