@@ -152,11 +152,40 @@ def strand_expand(codes, pwm_q, lens, S_plus, S_minus):
     return codes2, emis2
 
 
+def device_threshold(max_sc, ratio_q: int):
+    """Exact retention threshold ceil(ratio_q * max_sc / 2^RATIO_BITS) on
+    device, bit-identical to MapperConfig.threshold_for.
+
+    TPU has no int64/float64, so the 57-bit product is computed in uint32
+    16-bit limbs (wrap-around adds detect carries).  ratio_q <= 2^32."""
+    from gnumap_tpu.config import RATIO_BITS
+    assert RATIO_BITS == 32
+    a1 = jnp.uint32(ratio_q >> 16)
+    a0 = jnp.uint32(ratio_q & 0xFFFF)
+    ms = max_sc.astype(jnp.uint32)
+    m1 = ms >> 16
+    m0 = ms & 0xFFFF
+    c = a1 * m0
+    d = a0 * m1
+    e = a0 * m0
+    s_lo = c + d
+    carry1 = (s_lo < c).astype(jnp.uint32)
+    sh = s_lo >> 16
+    sl = s_lo & 0xFFFF
+    low = sl << 16
+    low2 = low + e
+    carry2 = (low2 < low).astype(jnp.uint32)
+    hi = carry1 * jnp.uint32(65536) + sh + carry2
+    thr = a1 * m1 + hi + (low2 != 0).astype(jnp.uint32)
+    return thr.astype(jnp.int32)
+
+
 class TpuMapper:
     """Holds the device-resident genome/index and the compiled map program."""
 
     def __init__(self, genome: Genome, index: CsrIndex, cfg: MapperConfig,
-                 align_impl: str = "jnp"):
+                 align_impl: str = "jnp",
+                 finish_impl: Optional[str] = None):
         if index.mer_size != cfg.mer_size:
             raise ValueError("index mer_size != cfg.mer_size")
         self.genome = genome
@@ -200,6 +229,17 @@ class TpuMapper:
         # tunnel charges per-array fetch latency)
         self._map_packed_inner = jax.jit(self._device_map_packed)
         self._map_packed = lambda c, p, l: self._map_packed_inner(
+            c, p, l, *self._big_args)
+        # device-finish variant: retention threshold + winner compaction +
+        # traceback all on device; the host only decodes CIGARs and
+        # normalizes posteriors.  Pallas-only (the kernel is the traceback).
+        self.finish_impl = (finish_impl if finish_impl is not None else
+                            ("device" if align_impl == "pallas" else "host"))
+        if self.finish_impl == "device" and align_impl != "pallas":
+            raise ValueError("finish_impl='device' requires align_impl="
+                             "'pallas'")
+        self._map_tb_inner = jax.jit(self._device_map_tb)
+        self._map_tb = lambda c, p, l: self._map_tb_inner(
             c, p, l, *self._big_args)
 
     # ------------------------------------------------------------------
@@ -298,6 +338,67 @@ class TpuMapper:
         scores = jnp.where(valid, scores, NEG_INF)
         return cands, valid, scores, max_sc
 
+    def _device_map_tb(self, codes, pwm_q, lens, *big):
+        """Scoring + exact retention + winner compaction + device traceback,
+        all in ONE device program with ONE int32 output blob:
+
+          blob[:, :6]  per-hit meta [flat_idx, cand, score, j_final,
+                       n_keep, n_valid_candidates] (-1 flat_idx = empty)
+          blob[:, 6:]  traceback ops, two uint16 rows per int32 word
+
+        Hit capacity H = B2 rows; if a batch retains more (n_keep > H,
+        pathological repeat load), finish_devtb falls back to the
+        full-fetch host path.  Replaces the native C++ host traceback on
+        the TPU path (STATUS.md round-1 plan: "device-side direction-bit
+        traceback removes the host ceiling")."""
+        cfg = self.cfg
+        cands, valid, scores, max_sc = self._device_map_args(
+            codes, pwm_q, lens, *big)
+        it = iter(big)
+        next(it)                       # bucket_start
+        next(it)                       # positions
+        if self.g_codes is not None:
+            next(it)
+        g_words = next(it) if self.g_words is not None else None
+        S_plus = next(it)
+        S_minus = next(it)
+        # strand_expand here is CSE'd with the identical call inside
+        # _device_map_args (same jit program)
+        _, emis2 = strand_expand(codes, pwm_q, lens, S_plus, S_minus)
+        lens2 = jnp.concatenate([lens, lens], axis=0)
+        B2, C = cands.shape
+        H = B2
+        with jax.named_scope("retain_compact"):
+            thr = device_threshold(max_sc, cfg.ratio_q())
+            keep = valid & (scores >= thr[:, None]) & (scores > 0)
+            flat_keep = keep.reshape(-1)
+            k = jnp.cumsum(flat_keep.astype(jnp.int32)) - 1
+            n_keep = k[-1] + 1
+            slot = jnp.where(flat_keep, k, H)
+            flat_idx = jnp.arange(B2 * C, dtype=jnp.int32)
+            hit_flat = jnp.full((H,), -1, jnp.int32).at[slot].set(
+                flat_idx, mode="drop")
+            valid_h = hit_flat >= 0
+            safe = jnp.where(valid_h, hit_flat, 0)
+            row_h = safe // C
+            cand_h = jnp.where(valid_h, cands.reshape(-1)[safe], SENTINEL)
+            score_h = jnp.where(valid_h, scores.reshape(-1)[safe], 0)
+            len_h = jnp.where(valid_h, lens2[row_h], 0)
+            emis_h = jnp.transpose(emis2, (0, 2, 1))[row_h]
+        with jax.named_scope("nw_traceback"):
+            ops, jfin = nw_pallas.nw_traceback_pallas(
+                emis_h, cand_h, len_h, g_words,
+                L=cfg.max_read_len, W=cfg.window_width(),
+                slack=cfg.gap_slack, open_q=cfg.gap_open_q(),
+                ext_q=cfg.gap_extend_q(), interpret=self._interpret)
+        nk = jnp.full((H,), n_keep, jnp.int32)
+        nv = jnp.full((H,), jnp.sum(valid.astype(jnp.int32)), jnp.int32)
+        meta = jnp.stack([hit_flat, cand_h, score_h, jfin, nk, nv], axis=1)
+        Lp = ops.shape[1]
+        ops32 = jax.lax.bitcast_convert_type(
+            ops.astype(jnp.uint16).reshape(H, Lp // 2, 2), jnp.int32)
+        return jnp.concatenate([meta, ops32], axis=1)
+
     # ------------------------------------------------------------------
     # Host finishing
     # ------------------------------------------------------------------
@@ -305,12 +406,21 @@ class TpuMapper:
         """Dispatch the device program asynchronously (XLA async dispatch);
         pair with finish().  Enables device/host pipelining in map_stream
         (the reference's SeqManager double-buffering analog)."""
-        return self._map_packed(jnp.asarray(batch.codes),
-                                jnp.asarray(batch.pwm_q),
-                                jnp.asarray(batch.lens))
+        fn = self._map_tb if self.finish_impl == "device" else \
+            self._map_packed
+        return fn(jnp.asarray(batch.codes),
+                  jnp.asarray(batch.pwm_q),
+                  jnp.asarray(batch.lens))
 
     def finish(self, batch: ReadBatch, dev_out,
                stats: Optional[BatchStats] = None) -> List[List[ReadHit]]:
+        if self.finish_impl == "device":
+            return self.finish_devtb(batch, dev_out, stats)
+        return self.finish_host(batch, dev_out, stats)
+
+    def finish_host(self, batch: ReadBatch, dev_out,
+                    stats: Optional[BatchStats] = None
+                    ) -> List[List[ReadHit]]:
         t0 = time.perf_counter()
         blob = np.asarray(dev_out)
         outputs = self.unpack_blob(blob, self.cfg.max_candidates)
@@ -322,6 +432,73 @@ class TpuMapper:
             _, valid, _, _ = outputs
             _update_stats(stats, self.cfg, batch, out, valid,
                           t1 - t0, t2 - t1)
+        return out
+
+    def finish_devtb(self, batch: ReadBatch, dev_out,
+                     stats: Optional[BatchStats] = None
+                     ) -> List[List[ReadHit]]:
+        """Decode the device traceback blob: group hits per read, dedupe by
+        (strand, pos), normalize posterior weights.  No DP on the host."""
+        cfg = self.cfg
+        t0 = time.perf_counter()
+        blob = np.asarray(dev_out)
+        t1 = time.perf_counter()
+        H = blob.shape[0]
+        C = cfg.max_candidates
+        B = batch.codes.shape[0]
+        n_keep = int(blob[0, 4])
+        n_valid = int(blob[0, 5])
+        if n_keep > H:
+            # hit-capacity overflow (extreme repeat batch): re-dispatch on
+            # the full-fetch host path — exact, just slower
+            return self.finish_host(
+                batch, self._map_packed(jnp.asarray(batch.codes),
+                                        jnp.asarray(batch.pwm_q),
+                                        jnp.asarray(batch.lens)), stats)
+        meta = blob[:n_keep, :6]
+        ops = np.ascontiguousarray(blob[:n_keep, 6:]).view(np.uint16)
+        Lp = ops.shape[1]
+        rows = meta[:, 0] // C
+        b_idx = rows % B
+        minus = rows >= B
+        pos = cfg.window_start(meta[:, 1]) + meta[:, 3]
+        lens_h = batch.lens[b_idx]
+        lanes = np.arange(Lp, dtype=np.int32)[None, :]
+        has_indel = (ops * (lanes < lens_h[:, None])).any(axis=1)
+        out: List[List[ReadHit]] = [[] for _ in range(batch.n)]
+        per_read: Dict[int, Dict[Tuple[str, int], ReadHit]] = {}
+        for h in range(n_keep):
+            b = int(b_idx[h])
+            if b >= batch.n:
+                continue
+            L = int(lens_h[h])
+            if has_indel[h]:
+                cigar, rl = nw_pallas.decode_ops(ops[h], L)
+            else:
+                cigar, rl = f"{L}M", L
+            st = "-" if minus[h] else "+"
+            key = (st, int(pos[h]))
+            d = per_read.setdefault(b, {})
+            sc = int(meta[h, 2])
+            if key not in d or sc > d[key].score:
+                d[key] = ReadHit(st, int(pos[h]), sc, 0.0, cigar, rl)
+        for b, d in per_read.items():
+            hits = list(d.values())
+            total = float(sum(hh.score for hh in hits))
+            for hh in hits:
+                hh.weight = hh.score / total
+            hits.sort(key=lambda hh: (hh.pos, 0 if hh.strand == "+" else 1))
+            out[b] = hits
+        t2 = time.perf_counter()
+        if stats is not None:
+            stats.n_reads += batch.n
+            stats.n_mapped += sum(1 for hh in out if hh)
+            stats.n_multi += sum(1 for hh in out if len(hh) > 1)
+            stats.n_candidates += n_valid
+            stats.dp_cells += (n_valid * cfg.max_read_len
+                               * cfg.window_width())
+            stats.device_s += t1 - t0
+            stats.host_s += t2 - t1
         return out
 
     def map_batch(self, batch: ReadBatch,

@@ -54,17 +54,29 @@ class SimRead:
 
 def simulate_reads(genome: str, n_reads: int, read_len: int, seed: int = 1,
                    sub_rate: float = 0.01, contig: str = "chr",
-                   qual_lo: int = 20, qual_hi: int = 40) -> List[SimRead]:
-    """Uniform sampling of both strands with quality-correlated base errors."""
+                   qual_lo: int = 20, qual_hi: int = 40,
+                   indel_rate: float = 0.0) -> List[SimRead]:
+    """Uniform sampling of both strands with quality-correlated base errors;
+    ``indel_rate`` = per-read probability of one 1-2bp insertion or deletion
+    (exercises gapped-alignment CIGARs end to end)."""
     rng = np.random.default_rng(seed)
     g = packing.encode(genome)
     G = len(g)
     assert G >= read_len
     reads: List[SimRead] = []
     for idx in range(n_reads):
-        pos = int(rng.integers(0, G - read_len + 1))
+        pos = int(rng.integers(0, G - read_len - 4 + 1))
         strand = "+" if rng.random() < 0.5 else "-"
         frag = g[pos:pos + read_len].copy()
+        if indel_rate > 0 and rng.random() < indel_rate and read_len > 12:
+            p = int(rng.integers(4, read_len - 6))
+            k = int(rng.integers(1, 3))
+            if rng.random() < 0.5:    # deletion from the read's genome copy
+                ext = g[pos + read_len:pos + read_len + k]
+                frag = np.concatenate([frag[:p], frag[p + k:], ext])
+            else:                     # insertion of random bases
+                ins = rng.integers(0, 4, size=k).astype(np.int8)
+                frag = np.concatenate([frag[:p], ins, frag[p:]])[:read_len]
         if strand == "-":
             frag = packing.revcomp(frag)
         quals = rng.integers(qual_lo, qual_hi + 1, size=read_len)

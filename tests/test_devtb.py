@@ -114,6 +114,87 @@ def test_devtb_matches_oracle_tpu():
            interpret=False)
 
 
+def test_device_threshold_exact():
+    from gnumap_tpu.pipeline.mapper import device_threshold
+    rng = np.random.default_rng(2)
+    ms = np.concatenate([
+        rng.integers(0, 1 << 28, 500).astype(np.int32),
+        np.array([0, 1, 2, (1 << 28) - 1, 1 << 20], np.int32)])
+    for ratio in [0.9, 1.0, 0.5, 0.123456789, 0.999999, 1e-9, 0.93]:
+        cfg = MapperConfig(align_score_ratio=ratio)
+        got = np.asarray(device_threshold(jax.numpy.asarray(ms),
+                                          cfg.ratio_q()))
+        want = np.array([cfg.threshold_for(int(m)) for m in ms], np.int64)
+        assert (got.astype(np.int64) == want).all(), ratio
+
+
+def _pipeline_workload(seed, n_reads=60, glen=2000, rl=36, sub=0.02,
+                       indel=0.01, repeats=False):
+    from gnumap_tpu.utils import sim
+    from gnumap_tpu.index import builder
+    from gnumap_tpu.io import fastq as io_fastq
+    from gnumap_tpu.core import packing, pwm as pwm_mod
+    cfg = MapperConfig(mer_size=8, seed_jump=4, batch_size=32,
+                       max_read_len=40, max_candidates=16,
+                       max_hits_per_seed=16, sam_out=False, sgr_out=False)
+    genome = sim.random_genome(glen, seed=seed)
+    if repeats:
+        genome = genome[:200] * (glen // 200)
+    gen = builder.Genome.from_contigs([("g", genome)])
+    idx = builder.build_index(gen, cfg)
+    reads = sim.simulate_reads(genome, n_reads, rl, seed=seed + 1,
+                               sub_rate=sub, indel_rate=indel, contig="g")
+    recs = []
+    for r in reads:
+        codes = packing.encode(r.seq)
+        q = np.frombuffer(r.qual.encode(), np.uint8).astype(np.int32) - 33
+        recs.append(io_fastq.ReadRecord(
+            r.name, codes, pwm_mod.pwm_from_calls(codes, q),
+            q.astype(np.int16)))
+    batches = list(io_fastq.batch_reads(iter(recs), cfg))
+    return cfg, gen, idx, batches
+
+
+def _hits_equal(a, b):
+    assert len(a) == len(b)
+    for ha, hb in zip(a, b):
+        assert len(ha) == len(hb)
+        for x, y in zip(ha, hb):
+            assert (x.strand, x.pos, x.score, x.cigar, x.ref_len) == \
+                   (y.strand, y.pos, y.score, y.cigar, y.ref_len)
+            assert abs(x.weight - y.weight) < 1e-12
+
+
+@pytest.mark.parametrize("seed,indel", [(21, 0.0), (22, 0.05)])
+def test_device_finish_matches_host_finish(seed, indel):
+    from gnumap_tpu.pipeline import mapper as pl
+    cfg, gen, idx, batches = _pipeline_workload(seed, indel=indel)
+    m_host = pl.TpuMapper(gen, idx, cfg, align_impl="pallas",
+                          finish_impl="host")
+    m_dev = pl.TpuMapper(gen, idx, cfg, align_impl="pallas",
+                         finish_impl="device")
+    for b in batches:
+        _hits_equal(m_host.map_batch(b), m_dev.map_batch(b))
+
+
+def test_device_finish_overflow_fallback():
+    """A tandem-repeat genome retains more hits than the device capacity
+    (H = 2 * batch reads); the fallback path must still be exact."""
+    from gnumap_tpu.pipeline import mapper as pl
+    cfg, gen, idx, batches = _pipeline_workload(33, n_reads=24, glen=2000,
+                                                repeats=True)
+    m_host = pl.TpuMapper(gen, idx, cfg, align_impl="pallas",
+                          finish_impl="host")
+    m_dev = pl.TpuMapper(gen, idx, cfg, align_impl="pallas",
+                         finish_impl="device")
+    saw_multi = False
+    for b in batches:
+        hh = m_host.map_batch(b)
+        _hits_equal(hh, m_dev.map_batch(b))
+        saw_multi = saw_multi or any(len(h) > 4 for h in hh)
+    assert saw_multi  # workload must actually stress multi-mapping
+
+
 def test_decode_ops_runs():
     # 3M 2D 2M 1I 1M  ->  rows: M M M(d=2) M M I M
     ops = np.array([0, 0, (2 << 1), 0, 0, 1, 0], np.int32)
