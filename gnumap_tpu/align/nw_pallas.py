@@ -116,7 +116,7 @@ def _bcast_col(col, tpc):
 def _nw_kernel(skip_ref, rows_ref, win8_ref, out_ref,
                m_ref, ix_ref, iy_ref, *,
                L: int, W: int, Wp: int, open_q: int, ext_q: int,
-               rpt: int):
+               rpt: int, S: int):
     """One tile: rpt reads x tpc candidate slots (rpt*tpc = 64).
 
     skip_ref: SMEM (1, 1, 1, 1)       1 = all slots sentinel, skip tile
@@ -124,9 +124,8 @@ def _nw_kernel(skip_ref, rows_ref, win8_ref, out_ref,
                                       lane 5 gap-open_i, lane 6 gap-ext_i
     win8_ref: VMEM (1, 1, 64, Wp) int8 window codes (5 = masked/N-pad)
     out_ref:  VMEM (1, 1, 1, 64)      scores, sublane order s = tpc*c + r
-    m/ix/iy:  VMEM (64, Wp) int32 scratch — DP state, lane j = column j+1
+    m/ix/iy:  VMEM (S, Wp) int32 scratch — DP state, lane j = column j+1
     """
-    S = SUBLANES
     tpc = S // rpt
 
     @pl.when(skip_ref[0, 0, 0, 0] == 1)
@@ -186,6 +185,29 @@ def _nw_kernel(skip_ref, rows_ref, win8_ref, out_ref,
 # over retained loci, now on-device instead of the native C++ host finisher)
 # ---------------------------------------------------------------------------
 
+def tb_sublanes_for(L: int, W: int, max_sublanes: int = 128,
+                    budget: int = 4 << 20) -> int:
+    """Largest traceback tile (power of two <= max_sublanes) whose per-tile
+    VMEM footprint — dominated by the (Lp, S, Wp) int8 direction scratch —
+    fits the budget (scoped VMEM is ~16M; leave room for the full-grid
+    output buffers the compiler also keeps resident)."""
+    Wp = _round_up(W, 128)
+    Lp = _round_up(L, 8)
+    Lpp = _round_up(Lp, 128)
+    S = max(32, max_sublanes)
+    while S > 32:
+        per_tile = (Lp * S * Wp          # dir int8
+                    + 5 * S * Wp * 4     # M/Ix/Iy/endM/endIx
+                    + Lp * S * 8 * 4     # rows block
+                    + S * Wp             # win8
+                    + S * Lpp * 2        # ops block
+                    + S * 4)
+        if per_tile <= budget:
+            break
+        S //= 2
+    return S
+
+
 def decode_ops(ops_row: np.ndarray, length: int):
     """Host-side decode of one hit's kernel ops row -> (cigar, ref_len).
 
@@ -240,7 +262,7 @@ def _extract_lane(x, lane_col, fill):
 def _nw_tb_kernel(skip_ref, rows_ref, win8_ref, ops_ref, jfin_ref,
                   m_ref, ix_ref, iy_ref, endm_ref, endix_ref, dir_ref, *,
                   L: int, W: int, Wp: int, Lp: int, Lpp: int,
-                  open_q: int, ext_q: int):
+                  open_q: int, ext_q: int, S: int):
     """One tile: 64 retained hits, one per sublane.
 
     Phase 1 (forward): the same frozen DP as _nw_kernel, additionally
@@ -263,11 +285,9 @@ def _nw_tb_kernel(skip_ref, rows_ref, win8_ref, ops_ref, jfin_ref,
     consume was I else 0); j_final = window column of the first aligned
     genome base (oracle's pos_in_window).
     """
-    S = SUBLANES
-
     @pl.when(skip_ref[0, 0, 0, 0] == 1)
     def _():
-        ops_ref[0] = jnp.zeros((S, Lpp), jnp.int32)
+        ops_ref[0] = jnp.zeros((S, Lpp), jnp.int16)
         jfin_ref[0, 0, 0, :] = jnp.zeros((S,), jnp.int32)
 
     @pl.when(skip_ref[0, 0, 0, 0] == 0)
@@ -342,7 +362,7 @@ def _nw_tb_kernel(skip_ref, rows_ref, win8_ref, ops_ref, jfin_ref,
             endix, end_lane, NEG_INF), 0, 1))
 
         # ---- phase 2: lockstep backwalk, one global row per step ----
-        ops_ref[0] = jnp.zeros((S, Lpp), jnp.int32)
+        ops_ref[0] = jnp.zeros((S, Lpp), jnp.int16)
         lane_l = jax.lax.broadcasted_iota(jnp.int32, (S, Lpp), 1)
 
         def back(t, carry):
@@ -379,7 +399,8 @@ def _nw_tb_kernel(skip_ref, rows_ref, win8_ref, ops_ref, jfin_ref,
                                      st))
             j = jnp.where(is_m, j - 1, j)
             val = jnp.where(active, (d_cnt << 1) | op_bit, 0)
-            ops_ref[0] = ops_ref[0] + jnp.where(lane_l == r - 1, val, 0)
+            ops_ref[0] = ops_ref[0] + jnp.where(
+                lane_l == r - 1, val, 0).astype(jnp.int16)
             return j, st, started
 
         zc = jnp.zeros((S, 1), jnp.int32)
@@ -389,17 +410,17 @@ def _nw_tb_kernel(skip_ref, rows_ref, win8_ref, ops_ref, jfin_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("L", "W", "slack", "open_q", "ext_q",
-                                    "interpret"))
+                                    "interpret", "sublanes"))
 def nw_traceback_pallas(emis_t: jax.Array, cands: jax.Array, lens: jax.Array,
                         genome_words: jax.Array, *, L: int, W: int,
                         slack: int, open_q: int, ext_q: int,
-                        interpret: bool = False):
+                        interpret: bool = False, sublanes: int = SUBLANES):
     """Exact traceback for H retained hits (one DP + backwalk each).
 
     emis_t: int32[H, 5, L]   emission table of the hit's read-strand
     cands:  int32[H]         candidate anchors (SENTINEL = empty slot)
     lens:   int32[H]         true read lengths
-    returns (ops int32[H, Lp], j_final int32[H]):
+    returns (ops int16[H, Lp], j_final int32[H]):
       ops[h, i] = (n_deletions_after_row_i+1 << 1) | (1 if row i+1 was an
       insertion else 0) for DP rows 1..len; j_final = oracle pos_in_window.
     Bit-identical to oracle.nw_align(traceback=True) on retained (score>0)
@@ -411,12 +432,13 @@ def nw_traceback_pallas(emis_t: jax.Array, cands: jax.Array, lens: jax.Array,
     Lp = _round_up(L, 8)
     Lpp = _round_up(Lp, 128)
     Gw = genome_words.shape[0]
-    Hp = _round_up(H, SUBLANES)
+    sublanes = tb_sublanes_for(L, W, sublanes)
+    Hp = _round_up(H, sublanes)
     if Hp != H:
         emis_t = jnp.pad(emis_t, ((0, Hp - H), (0, 0), (0, 0)))
         cands = jnp.pad(cands, (0, Hp - H), constant_values=SENTINEL)
         lens = jnp.pad(lens, (0, Hp - H))
-    nt = Hp // SUBLANES
+    nt = Hp // sublanes
     nw = Wp // BASES_PER_WORD
     # sentinel slots never start a backwalk (no end-row flag)
     lens = jnp.where(cands == SENTINEL, 0, lens)
@@ -429,7 +451,7 @@ def nw_traceback_pallas(emis_t: jax.Array, cands: jax.Array, lens: jax.Array,
     rows = rows.at[:, :, 5].set(jnp.where(in_read, open_q, 0))
     rows = rows.at[:, :, 6].set(jnp.where(in_read, ext_q, 0))
     rows = rows.at[:, :, 7].set((ar == lens[:, None] - 1).astype(jnp.int32))
-    rows = rows.reshape(nt, SUBLANES, Lp, 8).transpose(0, 2, 1, 3)
+    rows = rows.reshape(nt, sublanes, Lp, 8).transpose(0, 2, 1, 3)
 
     safe = jnp.where(cands == SENTINEL, 0, cands)
     wstart = (window_start(safe, slack) + W) // BASES_PER_WORD
@@ -439,43 +461,43 @@ def nw_traceback_pallas(emis_t: jax.Array, cands: jax.Array, lens: jax.Array,
     sub = (jnp.arange(Wp, dtype=jnp.int32) % BASES_PER_WORD) * 4
     win8 = ((rep >> sub) & 0xF).astype(jnp.int8)
     win8 = jnp.where((cands == SENTINEL)[:, None], jnp.int8(5), win8)
-    win8 = win8.reshape(nt, 1, SUBLANES, Wp)
+    win8 = win8.reshape(nt, 1, sublanes, Wp)
 
-    tile_valid = (cands != SENTINEL).reshape(nt, SUBLANES)
+    tile_valid = (cands != SENTINEL).reshape(nt, sublanes)
     skip = jnp.logical_not(tile_valid.any(axis=1)).astype(jnp.int32)
     skip = skip.reshape(nt, 1, 1, 1)
 
     kernel = functools.partial(
         _nw_tb_kernel, L=L, W=W, Wp=Wp, Lp=Lp, Lpp=Lpp,
-        open_q=open_q, ext_q=ext_q)
+        open_q=open_q, ext_q=ext_q, S=sublanes)
     ops, jfin = pl.pallas_call(
         kernel,
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((1, 1, 1, 1), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, Lp, SUBLANES, 8), lambda t: (t, 0, 0, 0),
+            pl.BlockSpec((1, Lp, sublanes, 8), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, SUBLANES, Wp), lambda t: (t, 0, 0, 0),
+            pl.BlockSpec((1, 1, sublanes, Wp), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, SUBLANES, Lpp), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, sublanes, Lpp), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, SUBLANES), lambda t: (t, 0, 0, 0),
+            pl.BlockSpec((1, 1, 1, sublanes), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nt, SUBLANES, Lpp), jnp.int32),
-            jax.ShapeDtypeStruct((nt, 1, 1, SUBLANES), jnp.int32),
+            jax.ShapeDtypeStruct((nt, sublanes, Lpp), jnp.int16),
+            jax.ShapeDtypeStruct((nt, 1, 1, sublanes), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((SUBLANES, Wp), jnp.int32),
-            pltpu.VMEM((SUBLANES, Wp), jnp.int32),
-            pltpu.VMEM((SUBLANES, Wp), jnp.int32),
-            pltpu.VMEM((SUBLANES, Wp), jnp.int32),
-            pltpu.VMEM((SUBLANES, Wp), jnp.int32),
-            pltpu.VMEM((Lp, SUBLANES, Wp), jnp.int8),
+            pltpu.VMEM((sublanes, Wp), jnp.int32),
+            pltpu.VMEM((sublanes, Wp), jnp.int32),
+            pltpu.VMEM((sublanes, Wp), jnp.int32),
+            pltpu.VMEM((sublanes, Wp), jnp.int32),
+            pltpu.VMEM((sublanes, Wp), jnp.int32),
+            pltpu.VMEM((Lp, sublanes, Wp), jnp.int8),
         ],
         interpret=interpret,
     )(skip, rows, win8)
@@ -486,11 +508,12 @@ def nw_traceback_pallas(emis_t: jax.Array, cands: jax.Array, lens: jax.Array,
 
 @functools.partial(jax.jit,
                    static_argnames=("L", "W", "slack", "open_q", "ext_q",
-                                    "interpret", "rpt"))
+                                    "interpret", "rpt", "sublanes"))
 def nw_scores_pallas(emis_t: jax.Array, cands: jax.Array, lens: jax.Array,
                      genome_words: jax.Array, *, L: int, W: int, slack: int,
                      open_q: int, ext_q: int,
-                     interpret: bool = False, rpt: int = RPT) -> jax.Array:
+                     interpret: bool = False, rpt: int = RPT,
+                     sublanes: int = SUBLANES) -> jax.Array:
     """Scores for every (read-strand, candidate) pair.
 
     emis_t:       int32[B2, 5, L]  emission tables, code-major
@@ -500,9 +523,9 @@ def nw_scores_pallas(emis_t: jax.Array, cands: jax.Array, lens: jax.Array,
     returns:      int32[B2, C]     alignment scores (NEG_INF at sentinels)
     """
     B2, C = cands.shape
-    TPC = SUBLANES // rpt
+    TPC = sublanes // rpt
     RPT_ = rpt
-    assert SUBLANES % rpt == 0
+    assert sublanes % rpt == 0
     assert C % TPC == 0, "max_candidates must be a multiple of 64/rpt"
     assert W % BASES_PER_WORD == 0
     Wp = _round_up(W, 128)
@@ -540,7 +563,7 @@ def nw_scores_pallas(emis_t: jax.Array, cands: jax.Array, lens: jax.Array,
     win8 = jnp.where((cands == SENTINEL)[:, :, None], jnp.int8(5), win8)
     # (B2p, C, Wp) -> (G8, rpt, nt, TPC, Wp) -> (G8, nt, TPC, rpt, Wp)
     win8 = win8.reshape(G8, RPT_, nt, TPC, Wp).transpose(0, 2, 3, 1, 4)
-    win8 = win8.reshape(G8, nt, SUBLANES, Wp)
+    win8 = win8.reshape(G8, nt, sublanes, Wp)
 
     # --- per-tile skip flags ---
     tile_valid = (cands != SENTINEL).reshape(G8, RPT_, nt, TPC)
@@ -548,7 +571,8 @@ def nw_scores_pallas(emis_t: jax.Array, cands: jax.Array, lens: jax.Array,
     skip = skip.reshape(G8, nt, 1, 1)
 
     kernel = functools.partial(
-        _nw_kernel, L=L, W=W, Wp=Wp, open_q=open_q, ext_q=ext_q, rpt=rpt)
+        _nw_kernel, L=L, W=W, Wp=Wp, open_q=open_q, ext_q=ext_q, rpt=rpt,
+        S=sublanes)
     scores = pl.pallas_call(
         kernel,
         grid=(G8, nt),
@@ -557,17 +581,17 @@ def nw_scores_pallas(emis_t: jax.Array, cands: jax.Array, lens: jax.Array,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, Lp, RPT_, 8), lambda g, t: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, SUBLANES, Wp), lambda g, t: (g, t, 0, 0),
+            pl.BlockSpec((1, 1, sublanes, Wp), lambda g, t: (g, t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, 1, SUBLANES),
+        out_specs=pl.BlockSpec((1, 1, 1, sublanes),
                                lambda g, t: (g, t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((G8, nt, 1, SUBLANES), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((G8, nt, 1, sublanes), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((SUBLANES, Wp), jnp.int32),
-            pltpu.VMEM((SUBLANES, Wp), jnp.int32),
-            pltpu.VMEM((SUBLANES, Wp), jnp.int32),
+            pltpu.VMEM((sublanes, Wp), jnp.int32),
+            pltpu.VMEM((sublanes, Wp), jnp.int32),
+            pltpu.VMEM((sublanes, Wp), jnp.int32),
         ],
         interpret=interpret,
     )(skip, rows, win8)

@@ -76,8 +76,13 @@ class MapperConfig:
     phred_offset: int = 33
 
     # --- performance (non-semantic) ---
-    pallas_rpt: int = 32         # Pallas tile shape: reads per tile
-                                 # (x candidate slots = 64 sublanes)
+    pallas_sublanes: int = 256   # DP tile sublanes (read-strand x candidate
+                                 # slots per kernel step; wider amortizes the
+                                 # row loop's per-iteration overhead)
+    pallas_rpt: int = 64         # Pallas tile shape: reads per tile
+                                 # (x candidate slots = pallas_sublanes)
+    pallas_tb_sublanes: int = 128  # traceback-kernel tile (bounded by the
+                                   # (Lp, S, Wp) int8 direction scratch VMEM)
 
     # --- parallelism (reference: -c threads, MPI ranks) ---
     read_shards: int = 1         # mesh axis "reads" (data parallelism)

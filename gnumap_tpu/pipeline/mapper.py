@@ -324,7 +324,8 @@ class TpuMapper:
                     emis2_t, cands[order], lens2[order], g_words,
                     L=cfg.max_read_len, W=cfg.window_width(),
                     slack=cfg.gap_slack, open_q=open_q, ext_q=ext_q,
-                    interpret=self._interpret, rpt=cfg.pallas_rpt)[inv]
+                    interpret=self._interpret, rpt=cfg.pallas_rpt,
+                    sublanes=cfg.pallas_sublanes)[inv]
         else:
             def chunk_fn(cand_chunk):
                 win = windows_for(jnp.where(cand_chunk == SENTINEL, 0,
@@ -390,7 +391,8 @@ class TpuMapper:
                 emis_h, cand_h, len_h, g_words,
                 L=cfg.max_read_len, W=cfg.window_width(),
                 slack=cfg.gap_slack, open_q=cfg.gap_open_q(),
-                ext_q=cfg.gap_extend_q(), interpret=self._interpret)
+                ext_q=cfg.gap_extend_q(), interpret=self._interpret,
+                sublanes=cfg.pallas_tb_sublanes)
         nk = jnp.full((H,), n_keep, jnp.int32)
         nv = jnp.full((H,), jnp.sum(valid.astype(jnp.int32)), jnp.int32)
         meta = jnp.stack([hit_flat, cand_h, score_h, jfin, nk, nv], axis=1)
