@@ -48,6 +48,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="skip seeds with more index hits than this")
     p.add_argument("-q", "--max-candidates", type=int, default=128,
                    help="candidate loci cap per read+strand")
+    p.add_argument("--index-type", choices=["csr", "fm"], default="csr",
+                   help="seed index backend: dense CSR table (default) or "
+                        "BWT/FM (the reference's GenomeBwt variant)")
     p.add_argument("--gap-open", type=float, default=4.0)
     p.add_argument("--gap-extend", type=float, default=1.0)
     p.add_argument("--match", type=float, default=1.0)
@@ -156,7 +159,11 @@ def main(argv=None) -> int:
                 f"index mer_size {index.mer_size} != -m {cfg.mer_size}")
     else:
         genome = builder.Genome.from_fasta(args.genome)
-        index = builder.build_index(genome, cfg)
+        if args.index_type == "fm":
+            from gnumap_tpu.index import fm
+            index = fm.build_fm_index(genome, cfg)
+        else:
+            index = builder.build_index(genome, cfg)
     t_index = time.perf_counter() - t0
     if args.save_index:
         store.save_index(args.save_index, genome, index)
@@ -169,6 +176,11 @@ def main(argv=None) -> int:
         import jax
         impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
     if args.read_shards or args.index_shards > 1:
+        from gnumap_tpu.index.fm import FmIndex
+        if isinstance(index, FmIndex):
+            raise SystemExit("--index-type fm is single-device; the "
+                             "sharded path shards the CSR table "
+                             "(use --index-type csr)")
         from gnumap_tpu.dist import collectives, mesh as mesh_mod
         mesh = mesh_mod.make_mesh(args.read_shards or None,
                                   args.index_shards)

@@ -19,18 +19,27 @@ from gnumap_tpu.index.builder import CsrIndex, Genome
 _FORMAT_VERSION = 1
 
 
-def save_index(path: str, genome: Genome, index: CsrIndex) -> None:
+def save_index(path: str, genome: Genome, index) -> None:
+    """Persist genome + seed index (CSR or FM — ``kind`` field selects)."""
+    from gnumap_tpu.index.fm import FmIndex
     n_mask = np.packbits(genome.codes == BASE_N)
-    np.savez_compressed(
-        path if path.endswith(".npz") else path + ".npz",
+    common = dict(
         version=np.int64(_FORMAT_VERSION),
         packed=packing.pack_2bit(genome.codes),
         n_mask=n_mask,
         n_bases=np.int64(len(genome.codes)),
         names=np.array(genome.names, dtype=object),
         starts=genome.starts, lengths=genome.lengths,
-        mer_size=np.int64(index.mer_size),
-        bucket_start=index.bucket_start, positions=index.positions)
+        mer_size=np.int64(index.mer_size))
+    out = path if path.endswith(".npz") else path + ".npz"
+    if isinstance(index, FmIndex):
+        np.savez_compressed(out, kind="fm", sa=index.sa,
+                            bwt_words=index.bwt_words, occ=index.occ,
+                            c_table=index.c_table, **common)
+    else:
+        np.savez_compressed(out, kind="csr",
+                            bucket_start=index.bucket_start,
+                            positions=index.positions, **common)
 
 
 def load_index(path: str) -> Tuple[Genome, CsrIndex]:
@@ -43,7 +52,14 @@ def load_index(path: str) -> Tuple[Genome, CsrIndex]:
     codes[nm] = BASE_N
     genome = Genome(codes, [str(x) for x in z["names"]],
                     z["starts"], z["lengths"])
-    index = CsrIndex(int(z["mer_size"]), z["bucket_start"], z["positions"])
+    kind = str(z["kind"]) if "kind" in z else "csr"
+    if kind == "fm":
+        from gnumap_tpu.index.fm import FmIndex
+        index = FmIndex(int(z["mer_size"]), z["sa"], z["bwt_words"],
+                        z["occ"], z["c_table"])
+    else:
+        index = CsrIndex(int(z["mer_size"]), z["bucket_start"],
+                         z["positions"])
     return genome, index
 
 

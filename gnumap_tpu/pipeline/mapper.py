@@ -198,8 +198,20 @@ class TpuMapper:
         # the jnp window-gather path; the pallas path uses g_words)
         self.g_codes = (jnp.asarray(genome.codes) if align_impl != "pallas"
                         else None)
-        self.bucket_start = jnp.asarray(index.bucket_start)
-        self.positions = jnp.asarray(index.positions)
+        # seed-lookup backend: CSR (dense hash-as-arrays) or FM (BWT);
+        # identical candidate sets (index/fm.py docstring)
+        from gnumap_tpu.index.fm import FmIndex
+        self.index_kind = "fm" if isinstance(index, FmIndex) else "csr"
+        if self.index_kind == "fm":
+            self._idx_args = (jnp.asarray(index.sa),
+                              jnp.asarray(index.bwt_words),
+                              jnp.asarray(index.occ),
+                              jnp.asarray(index.c_table))
+        else:
+            self._idx_args = (jnp.asarray(index.bucket_start),
+                              jnp.asarray(index.positions))
+        self.bucket_start, self.positions = (
+            self._idx_args if self.index_kind == "csr" else (None, None))
         self.S_plus = jnp.asarray(S_plus)
         self.S_minus = jnp.asarray(S_minus)
         L, m = cfg.max_read_len, cfg.mer_size
@@ -220,7 +232,7 @@ class TpuMapper:
         # closure captures — captured device arrays become HLO constants and
         # the whole index would be shipped to the compiler on every compile.
         self._big_args = tuple(a for a in (
-            self.bucket_start, self.positions, self.g_codes, self.g_words,
+            *self._idx_args, self.g_codes, self.g_words,
             self.S_plus, self.S_minus) if a is not None)
         self._map_jit_inner = jax.jit(self._device_map_args)
         self._map_jit = lambda c, p, l: self._map_jit_inner(
@@ -245,31 +257,37 @@ class TpuMapper:
     # ------------------------------------------------------------------
     # Device program
     # ------------------------------------------------------------------
-    def _seed(self, codes2, bucket_start=None, positions=None):
-        """Candidate anchors per (read x strand): int32[B2, C] + valid mask."""
+    def _seed(self, codes2, idx_args=None):
+        """Candidate anchors per (read x strand): int32[B2, C] + valid
+        mask.  ``idx_args`` = CSR (bucket_start, positions) or FM
+        (sa, bwt_words, occ, c_table) arrays."""
         cfg = self.cfg
-        bucket_start = (self.bucket_start if bucket_start is None
-                        else bucket_start)
-        positions = self.positions if positions is None else positions
+        idx_args = self._idx_args if idx_args is None else idx_args
         km, bad = seed_kmers(codes2, self.offsets, cfg.mer_size)
-        cand = csr_hits(km, bad, bucket_start, positions,
-                        self.offsets, cfg)
+        if self.index_kind == "fm":
+            from gnumap_tpu.index.fm import fm_hits
+            cand = fm_hits(km, bad, *idx_args, self.offsets, cfg)
+        else:
+            cand = csr_hits(km, bad, *idx_args, self.offsets, cfg)
         cands = dedupe_cap(cand, cfg.max_candidates)
         return cands, cands != SENTINEL
 
-    def _device_map_args(self, codes, pwm_q, lens, *big):
-        """big = the device-resident genome/index arrays in _big_args
-        order (passed as traced args, see __init__)."""
-        it = iter(big)
-        bucket_start = next(it)
-        positions = next(it)
+    def _split_big(self, big):
+        ni = len(self._idx_args)
+        idx_args = big[:ni]
+        it = iter(big[ni:])
         g_codes = next(it) if self.g_codes is not None else None
         g_words = next(it) if self.g_words is not None else None
         S_plus = next(it)
         S_minus = next(it)
-        return self._device_map(codes, pwm_q, lens, bucket_start,
-                                positions, g_codes, g_words, S_plus,
-                                S_minus)
+        return idx_args, g_codes, g_words, S_plus, S_minus
+
+    def _device_map_args(self, codes, pwm_q, lens, *big):
+        """big = the device-resident genome/index arrays in _big_args
+        order (passed as traced args, see __init__)."""
+        idx_args, g_codes, g_words, S_plus, S_minus = self._split_big(big)
+        return self._device_map(codes, pwm_q, lens, idx_args,
+                                g_codes, g_words, S_plus, S_minus)
 
     def _device_map_packed(self, codes, pwm_q, lens, *big):
         """All outputs in ONE int32 blob: [cands | scores | max_sc]."""
@@ -285,13 +303,11 @@ class TpuMapper:
         max_sc = blob[:, 2 * C]
         return cands, cands != SENTINEL, scores, max_sc
 
-    def _device_map(self, codes, pwm_q, lens, bucket_start=None,
-                    positions=None, g_codes=None, g_words=None,
+    def _device_map(self, codes, pwm_q, lens, idx_args=None,
+                    g_codes=None, g_words=None,
                     S_plus=None, S_minus=None):
         cfg = self.cfg
-        bucket_start = (self.bucket_start if bucket_start is None
-                        else bucket_start)
-        positions = self.positions if positions is None else positions
+        idx_args = self._idx_args if idx_args is None else idx_args
         g_codes = self.g_codes if g_codes is None else g_codes
         g_words = self.g_words if g_words is None else g_words
         S_plus = self.S_plus if S_plus is None else S_plus
@@ -301,7 +317,7 @@ class TpuMapper:
                                           S_plus, S_minus)
             max_sc = nw_ref.max_read_scores(emis2)
         with jax.named_scope("seed"):
-            cands, valid = self._seed(codes2, bucket_start, positions)
+            cands, valid = self._seed(codes2, idx_args)
         ck = self.cand_chunk
         nchunk = cfg.max_candidates // ck
         cc = jnp.transpose(
@@ -355,14 +371,7 @@ class TpuMapper:
         cfg = self.cfg
         cands, valid, scores, max_sc = self._device_map_args(
             codes, pwm_q, lens, *big)
-        it = iter(big)
-        next(it)                       # bucket_start
-        next(it)                       # positions
-        if self.g_codes is not None:
-            next(it)
-        g_words = next(it) if self.g_words is not None else None
-        S_plus = next(it)
-        S_minus = next(it)
+        _, _, g_words, S_plus, S_minus = self._split_big(big)
         # strand_expand here is CSE'd with the identical call inside
         # _device_map_args (same jit program)
         _, emis2 = strand_expand(codes, pwm_q, lens, S_plus, S_minus)

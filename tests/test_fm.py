@@ -1,0 +1,115 @@
+"""FM/BWT index backend vs the CSR index (gnumap_tpu/index/fm.py).
+
+The FM index must return the exact candidate SET the CSR index returns for
+every seed (same occurrence counts -> same max-hits skip decisions), so the
+whole mapper output is bit-identical under either backend.
+"""
+
+import os
+import numpy as np
+import pytest
+
+from gnumap_tpu.config import MapperConfig
+from gnumap_tpu.core import packing
+from gnumap_tpu.index import builder, fm, store
+from gnumap_tpu.utils import sim
+
+
+def test_suffix_array_matches_naive():
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 5, 200).astype(np.int8)
+    sa = fm.suffix_array(codes)
+    t = list(codes + 1) + [0]
+    naive = sorted(range(len(t)), key=lambda i: t[i:])
+    assert list(sa) == naive
+
+
+def _mk(seed=1, glen=3000, m=6):
+    cfg = MapperConfig(mer_size=m, seed_jump=3, batch_size=16,
+                       max_read_len=24, max_candidates=16,
+                       max_hits_per_seed=8)
+    genome = sim.random_genome(glen, seed=seed)
+    gen = builder.Genome.from_contigs([("g", genome)])
+    return cfg, gen
+
+
+def test_fm_lookup_matches_csr():
+    cfg, gen = _mk()
+    csr = builder.build_index(gen, cfg)
+    fmi = fm.build_fm_index(gen, cfg)
+    kmers, valid = packing.kmer_codes(gen.codes, cfg.mer_size)
+    seen = sorted(set(int(k) for k, v in zip(kmers, valid) if v))
+    rng = np.random.default_rng(3)
+    for k in rng.choice(seen, size=min(200, len(seen)), replace=False):
+        got = fmi.lookup(int(k))
+        want = np.sort(csr.lookup(int(k)))
+        assert (got == want).all(), int(k)
+    # absent k-mer
+    absent = next(k for k in range(4 ** cfg.mer_size)
+                  if k not in set(seen))
+    assert len(fmi.lookup(absent)) == 0
+
+
+def test_fm_hits_device_matches_csr_hits():
+    import jax.numpy as jnp
+    from gnumap_tpu.pipeline import mapper as pl
+    cfg, gen = _mk(seed=5)
+    csr = builder.build_index(gen, cfg)
+    fmi = fm.build_fm_index(gen, cfg)
+    rng = np.random.default_rng(7)
+    B2, L = 8, cfg.max_read_len
+    codes2 = rng.integers(0, 4, (B2, L)).astype(np.int8)
+    codes2[0, 3] = 4  # an N in a seed
+    offsets = np.arange(0, L - cfg.mer_size + 1, cfg.seed_jump,
+                        dtype=np.int32)
+    km, bad = pl.seed_kmers(jnp.asarray(codes2), offsets, cfg.mer_size)
+    a = np.asarray(pl.csr_hits(km, bad, jnp.asarray(csr.bucket_start),
+                               jnp.asarray(csr.positions), offsets, cfg))
+    b = np.asarray(fm.fm_hits(km, bad, jnp.asarray(fmi.sa),
+                              jnp.asarray(fmi.bwt_words),
+                              jnp.asarray(fmi.occ),
+                              jnp.asarray(fmi.c_table), offsets, cfg))
+    # same SET per seed (FM returns SA order, CSR ascending)
+    assert (np.sort(a, axis=-1) == np.sort(b, axis=-1)).all()
+
+
+@pytest.mark.parametrize("align_impl", ["jnp", "pallas"])
+def test_fm_pipeline_matches_csr(align_impl):
+    from gnumap_tpu.pipeline import mapper as pl
+    from gnumap_tpu.io import fastq as io_fastq
+    from gnumap_tpu.core import pwm as pwm_mod
+    cfg, gen = _mk(seed=9, glen=4000, m=7)
+    csr = builder.build_index(gen, cfg)
+    fmi = fm.build_fm_index(gen, cfg)
+    reads = sim.simulate_reads(packing.decode(gen.codes[:3900]), 40, 20,
+                               seed=2, sub_rate=0.03, indel_rate=0.05,
+                               contig="g")
+    recs = []
+    for r in reads:
+        c = packing.encode(r.seq)
+        q = np.frombuffer(r.qual.encode(), np.uint8).astype(np.int32) - 33
+        recs.append(io_fastq.ReadRecord(r.name, c,
+                                        pwm_mod.pwm_from_calls(c, q),
+                                        q.astype(np.int16)))
+    m_csr = pl.TpuMapper(gen, csr, cfg, align_impl=align_impl)
+    m_fm = pl.TpuMapper(gen, fmi, cfg, align_impl=align_impl)
+    for b in io_fastq.batch_reads(iter(recs), cfg):
+        ha = m_csr.map_batch(b)
+        hb = m_fm.map_batch(b)
+        for x, y in zip(ha, hb):
+            assert [(h.strand, h.pos, h.score, h.cigar) for h in x] == \
+                   [(h.strand, h.pos, h.score, h.cigar) for h in y]
+
+
+def test_fm_save_load_roundtrip(tmp_path):
+    cfg, gen = _mk(seed=11, glen=1000)
+    fmi = fm.build_fm_index(gen, cfg)
+    p = str(tmp_path / "idx.npz")
+    store.save_index(p, gen, fmi)
+    gen2, idx2 = store.load_index(p)
+    assert isinstance(idx2, fm.FmIndex)
+    assert (gen2.codes == gen.codes).all()
+    assert (idx2.sa == fmi.sa).all()
+    assert (idx2.occ == fmi.occ).all()
+    assert (idx2.bwt_words == fmi.bwt_words).all()
+    assert (idx2.c_table == fmi.c_table).all()
