@@ -48,9 +48,10 @@ def build_workload(n_reads, genome_len, batch_size):
     for r in reads:
         codes = packing.encode(r.seq)
         q = np.frombuffer(r.qual.encode(), np.uint8).astype(np.int32) - 33
-        recs.append(io_fastq.ReadRecord(
-            r.name, codes, pwm_mod.pwm_from_calls(codes, q),
-            q.astype(np.int16)))
+        # pwm stays lazy (None): built on device from the (qual, code)
+        # table, like the real FASTQ path
+        recs.append(io_fastq.ReadRecord(r.name, codes, None,
+                                        q.astype(np.int16)))
     return cfg, gen, idx, recs
 
 

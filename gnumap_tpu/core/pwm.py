@@ -72,6 +72,38 @@ def pwm_from_probs(probs: np.ndarray) -> np.ndarray:
     return _quantize_rows(p)
 
 
+_PWM_TABLE = None
+PWM_TABLE_QMAX = 127
+
+
+def pwm_table() -> np.ndarray:
+    """int32[QMAX+1, 5, 4]: the quantized PWM row for every (Phred quality,
+    called code) pair — code 4 (N) is the uniform row.
+
+    A Phred-derived PWM row depends ONLY on (q, code), so the whole batch
+    PWM is one table gather.  Built with pwm_from_calls itself, so rows are
+    bit-identical to the per-read path by construction; lets the device
+    reconstruct PWMs from (codes, quals) without shipping the (B, L, 4)
+    int32 array over the host->device link."""
+    global _PWM_TABLE
+    if _PWM_TABLE is None:
+        t = np.empty((PWM_TABLE_QMAX + 1, 5, 4), np.int32)
+        for c in range(5):
+            codes = np.full(PWM_TABLE_QMAX + 1, c, np.int8)
+            t[:, c, :] = pwm_from_calls(codes,
+                                        np.arange(PWM_TABLE_QMAX + 1))
+        _PWM_TABLE = t
+    return _PWM_TABLE
+
+
+def pwm_rows_from_table(codes: np.ndarray, quals: np.ndarray) -> np.ndarray:
+    """Host-side table lookup (exactly pwm_from_calls, batched)."""
+    t = pwm_table()
+    q = np.clip(np.asarray(quals, np.int64), 0, PWM_TABLE_QMAX)
+    c = np.clip(np.asarray(codes, np.int64), 0, 4)
+    return t[q, c]
+
+
 def pwm_revcomp(pwm_q: np.ndarray) -> np.ndarray:
     """Reverse-complement a quantized PWM: reverse positions, swap A<->T, C<->G."""
     return np.ascontiguousarray(pwm_q[..., ::-1, ::-1])

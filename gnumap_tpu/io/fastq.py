@@ -43,7 +43,10 @@ def read_fasta(path: str) -> List[Tuple[str, str]]:
 class ReadRecord:
     name: str
     codes: np.ndarray        # int8[L]
-    pwm_q: np.ndarray        # int32[L, 4] quantized probability rows
+    pwm_q: "np.ndarray | None"  # int32[L, 4] probability rows; None for
+                                # purely quality-derived reads (FASTQ) —
+                                # the PWM is then a (qual, code) table
+                                # lookup done lazily / on device
     quals: np.ndarray        # int16[L] Phred values (for SAM round-trip)
 
 
@@ -59,8 +62,7 @@ def iter_fastq(path: str, cfg: MapperConfig) -> Iterator[ReadRecord]:
             codes = packing.encode(seq)
             q = np.frombuffer(qual.encode(), dtype=np.uint8).astype(
                 np.int32) - cfg.phred_offset
-            yield ReadRecord(hdr[1:].strip().split()[0], codes,
-                             pwm_mod.pwm_from_calls(codes, q),
+            yield ReadRecord(hdr[1:].strip().split()[0], codes, None,
                              q.astype(np.int16))
 
 
@@ -70,8 +72,7 @@ def iter_fasta_reads(path: str, cfg: MapperConfig,
     for name, seq in read_fasta(path):
         codes = packing.encode(seq)
         q = np.full(len(codes), default_qual, dtype=np.int32)
-        yield ReadRecord(name, codes, pwm_mod.pwm_from_calls(codes, q),
-                         q.astype(np.int16))
+        yield ReadRecord(name, codes, None, q.astype(np.int16))
 
 
 def trim_adaptor(codes: np.ndarray, quals: np.ndarray,
@@ -153,22 +154,37 @@ def apply_adaptor_trim(records: Iterator[ReadRecord], cfg: MapperConfig,
     for r in records:
         codes, quals = trim_adaptor(r.codes, r.quals, ad)
         if len(codes) != len(r.codes):
-            q = np.asarray(quals, np.int32)
-            r = ReadRecord(r.name, codes,
-                           pwm_mod.pwm_from_calls(codes, q),
-                           quals.astype(np.int16))
+            pw = None if r.pwm_q is None else r.pwm_q[:len(codes)]
+            r = ReadRecord(r.name, codes, pw, quals.astype(np.int16))
         yield r
 
 
 @dataclasses.dataclass
 class ReadBatch:
-    """Fixed-shape padded batch: the device-facing unit of work."""
+    """Fixed-shape padded batch: the device-facing unit of work.
+
+    ``pwm_arr`` is None for purely quality-derived batches (the common
+    FASTQ case): the mapper then ships only (codes, quals) to the device
+    and reconstructs the PWM there with one table gather (core/pwm.py
+    pwm_table) — 8x less host->device traffic than the (B, L, 4) int32
+    array.  The ``pwm_q`` property materializes the identical array
+    host-side on demand (SNP tallies, overflow fallback, oracle checks)."""
     names: List[str]
     codes: np.ndarray        # int8[B, Lmax], pad = N
-    pwm_q: np.ndarray        # int32[B, Lmax, 4], pad rows are all-zero
+    pwm_arr: "np.ndarray | None"  # int32[B, Lmax, 4], pad rows all-zero
     lens: np.ndarray         # int32[B], 0 for pad reads
     quals: np.ndarray        # int16[B, Lmax] Phred (0 pad)
     n: int                   # actual number of reads (<= B)
+
+    @property
+    def pwm_q(self) -> np.ndarray:
+        if self.pwm_arr is None:
+            pw = pwm_mod.pwm_rows_from_table(self.codes, self.quals)
+            L = self.codes.shape[1]
+            in_read = np.arange(L)[None, :] < self.lens[:, None]
+            self.pwm_arr = np.where(in_read[:, :, None], pw,
+                                    0).astype(np.int32)
+        return self.pwm_arr
 
 
 def batch_reads(reads: Iterator[ReadRecord], cfg: MapperConfig
@@ -185,14 +201,18 @@ def batch_reads(reads: Iterator[ReadRecord], cfg: MapperConfig
 
     def flush() -> ReadBatch:
         codes = np.full((B, L), 4, dtype=np.int8)
-        pw = np.zeros((B, L, 4), dtype=np.int32)
         lens = np.zeros(B, dtype=np.int32)
         quals = np.zeros((B, L), dtype=np.int16)
         names = []
+        lazy = all(r.pwm_q is None for r in buf)
+        pw = None if lazy else np.zeros((B, L, 4), dtype=np.int32)
         for i, r in enumerate(buf):
             n = min(len(r.codes), L)
             codes[i, :n] = r.codes[:n]
-            pw[i, :n] = r.pwm_q[:n]
+            if not lazy:
+                rp = (r.pwm_q if r.pwm_q is not None else
+                      pwm_mod.pwm_rows_from_table(r.codes, r.quals))
+                pw[i, :n] = rp[:n]
             quals[i, :n] = r.quals[:n]
             lens[i] = n
             names.append(r.name)
@@ -221,10 +241,8 @@ def batch_reads_native(path: str, cfg: MapperConfig):
     pend = None  # (codes, quals, lens) arrays pending batch fill
 
     def assemble(names, codes, quals, lens):
-        pw = pwm_mod.pwm_from_calls(codes, np.asarray(quals, np.int32))
-        in_read = (np.arange(L)[None, :] < lens[:, None])
-        pw = np.where(in_read[:, :, None], pw, 0).astype(np.int32)
-        return names, codes, pw, quals, lens
+        # PWM stays lazy (quality-derived): built on device from the table
+        return names, codes, None, quals, lens
 
     tail = b""
     eof = False
@@ -247,27 +265,25 @@ def batch_reads_native(path: str, cfg: MapperConfig):
                 part = assemble(names[i:i + take], codes[i:i + take],
                                 quals[i:i + take], lens[i:i + take])
                 if pend is None and take == B:
-                    yield ReadBatch(part[0], part[1], part[2], part[4],
+                    yield ReadBatch(part[0], part[1], None, part[4],
                                     part[3], B)
                 else:
                     if pend is None:
                         pend = [np.full((B, L), 4, np.int8),
-                                np.zeros((B, L, 4), np.int32),
                                 np.zeros((B, L), np.int16),
                                 np.zeros(B, np.int32)]
                     k = len(pend_names)
                     pend[0][k:k + take] = part[1]
-                    pend[1][k:k + take] = part[2]
-                    pend[2][k:k + take] = part[3]
-                    pend[3][k:k + take] = part[4]
+                    pend[1][k:k + take] = part[3]
+                    pend[2][k:k + take] = part[4]
                     pend_names.extend(part[0])
                     if len(pend_names) == B:
-                        yield ReadBatch(pend_names, pend[0], pend[1],
-                                        pend[3], pend[2], B)
+                        yield ReadBatch(pend_names, pend[0], None,
+                                        pend[2], pend[1], B)
                         pend_names, pend = [], None
                 i += take
             if eof and not names:
                 break
     if pend_names:
-        yield ReadBatch(pend_names, pend[0], pend[1], pend[3], pend[2],
+        yield ReadBatch(pend_names, pend[0], None, pend[2], pend[1],
                         len(pend_names))

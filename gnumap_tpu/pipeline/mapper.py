@@ -142,6 +142,19 @@ def windows_for(cand_chunk, g_codes, cfg):
     return jnp.where(oob, 4, win)
 
 
+def device_pwm(codes, quals, lens, table):
+    """PWM reconstruction on device: one (qual, code) table gather —
+    bit-identical to core/pwm.pwm_from_calls (the table is built with it),
+    with pad positions zeroed (the frozen pad-row rule).  Ships (codes,
+    quals) instead of the (B, L, 4) int32 PWM over the host->device link."""
+    q = jnp.clip(quals.astype(jnp.int32), 0, table.shape[0] - 1)
+    c = jnp.clip(codes.astype(jnp.int32), 0, 4)
+    pw = table[q, c]
+    L = codes.shape[1]
+    in_read = jnp.arange(L, dtype=jnp.int32)[None, :] < lens[:, None]
+    return jnp.where(in_read[:, :, None], pw, 0)
+
+
 def strand_expand(codes, pwm_q, lens, S_plus, S_minus):
     """codes/pwm -> both-strand codes2 + integer emission tables (MXU)."""
     rc_codes, rc_pwm = revcomp_batch(codes, pwm_q, lens)
@@ -231,9 +244,10 @@ class TpuMapper:
         # The genome/index arrays are ARGUMENTS of the jitted program, not
         # closure captures — captured device arrays become HLO constants and
         # the whole index would be shipped to the compiler on every compile.
+        self.pwm_table = jnp.asarray(pwm_mod.pwm_table())
         self._big_args = tuple(a for a in (
             *self._idx_args, self.g_codes, self.g_words,
-            self.S_plus, self.S_minus) if a is not None)
+            self.S_plus, self.S_minus, self.pwm_table) if a is not None)
         self._map_jit_inner = jax.jit(self._device_map_args)
         self._map_jit = lambda c, p, l: self._map_jit_inner(
             c, p, l, *self._big_args)
@@ -253,6 +267,13 @@ class TpuMapper:
         self._map_tb_inner = jax.jit(self._device_map_tb)
         self._map_tb = lambda c, p, l: self._map_tb_inner(
             c, p, l, *self._big_args)
+        # quality-derived variants: ship (codes, quals), build PWM on device
+        self._map_tb_q_inner = jax.jit(self._device_map_tb_q)
+        self._map_tb_q = lambda c, q, l: self._map_tb_q_inner(
+            c, q, l, *self._big_args)
+        self._map_packed_q_inner = jax.jit(self._device_map_packed_q)
+        self._map_packed_q = lambda c, q, l: self._map_packed_q_inner(
+            c, q, l, *self._big_args)
 
     # ------------------------------------------------------------------
     # Device program
@@ -280,14 +301,26 @@ class TpuMapper:
         g_words = next(it) if self.g_words is not None else None
         S_plus = next(it)
         S_minus = next(it)
-        return idx_args, g_codes, g_words, S_plus, S_minus
+        table = next(it)
+        return idx_args, g_codes, g_words, S_plus, S_minus, table
 
     def _device_map_args(self, codes, pwm_q, lens, *big):
         """big = the device-resident genome/index arrays in _big_args
         order (passed as traced args, see __init__)."""
-        idx_args, g_codes, g_words, S_plus, S_minus = self._split_big(big)
+        idx_args, g_codes, g_words, S_plus, S_minus, _ = self._split_big(big)
         return self._device_map(codes, pwm_q, lens, idx_args,
                                 g_codes, g_words, S_plus, S_minus)
+
+    def _device_map_tb_q(self, codes, quals, lens, *big):
+        """Quality-derived batches: PWM built on device (device_pwm)."""
+        table = self._split_big(big)[5]
+        pwm_q = device_pwm(codes, quals, lens, table)
+        return self._device_map_tb(codes, pwm_q, lens, *big)
+
+    def _device_map_packed_q(self, codes, quals, lens, *big):
+        table = self._split_big(big)[5]
+        pwm_q = device_pwm(codes, quals, lens, table)
+        return self._device_map_packed(codes, pwm_q, lens, *big)
 
     def _device_map_packed(self, codes, pwm_q, lens, *big):
         """All outputs in ONE int32 blob: [cands | scores | max_sc]."""
@@ -371,7 +404,7 @@ class TpuMapper:
         cfg = self.cfg
         cands, valid, scores, max_sc = self._device_map_args(
             codes, pwm_q, lens, *big)
-        _, _, g_words, S_plus, S_minus = self._split_big(big)
+        _, _, g_words, S_plus, S_minus, _ = self._split_big(big)
         # strand_expand here is CSE'd with the identical call inside
         # _device_map_args (same jit program)
         _, emis2 = strand_expand(codes, pwm_q, lens, S_plus, S_minus)
@@ -416,12 +449,17 @@ class TpuMapper:
     def submit(self, batch: ReadBatch):
         """Dispatch the device program asynchronously (XLA async dispatch);
         pair with finish().  Enables device/host pipelining in map_stream
-        (the reference's SeqManager double-buffering analog)."""
-        fn = self._map_tb if self.finish_impl == "device" else \
-            self._map_packed
-        return fn(jnp.asarray(batch.codes),
-                  jnp.asarray(batch.pwm_q),
-                  jnp.asarray(batch.lens))
+        (the reference's SeqManager double-buffering analog).  Quality-
+        derived batches (pwm_arr None) ship quals and rebuild the PWM on
+        device — 8x less H2D traffic."""
+        dev = self.finish_impl == "device"
+        if batch.pwm_arr is None:
+            fn = self._map_tb_q if dev else self._map_packed_q
+            mid = jnp.asarray(batch.quals)
+        else:
+            fn = self._map_tb if dev else self._map_packed
+            mid = jnp.asarray(batch.pwm_arr)
+        return fn(jnp.asarray(batch.codes), mid, jnp.asarray(batch.lens))
 
     def finish(self, batch: ReadBatch, dev_out,
                stats: Optional[BatchStats] = None) -> List[List[ReadHit]]:

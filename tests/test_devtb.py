@@ -165,6 +165,31 @@ def _hits_equal(a, b):
             assert abs(x.weight - y.weight) < 1e-12
 
 
+def test_pwm_table_matches_pwm_from_calls():
+    from gnumap_tpu.core import pwm as pwm_mod
+    t = pwm_mod.pwm_table()
+    for c in range(5):
+        codes = np.full(pwm_mod.PWM_TABLE_QMAX + 1, c, np.int8)
+        want = pwm_mod.pwm_from_calls(codes,
+                                      np.arange(pwm_mod.PWM_TABLE_QMAX + 1))
+        assert (t[:, c, :] == want).all()
+    assert (t.sum(axis=-1) == 4096).all()
+
+
+def test_lazy_pwm_batch_matches_explicit():
+    """A batch with pwm_arr=None (device-built PWM) must map identically to
+    the same batch with the host-materialized PWM."""
+    from gnumap_tpu.pipeline import mapper as pl
+    import dataclasses as dc
+    cfg, gen, idx, batches = _pipeline_workload(41, indel=0.05)
+    m = pl.TpuMapper(gen, idx, cfg, align_impl="pallas",
+                     finish_impl="device")
+    for b in batches:
+        lazy = dc.replace(b, pwm_arr=None)
+        explicit = dc.replace(b, pwm_arr=np.array(b.pwm_q))
+        _hits_equal(m.map_batch(explicit), m.map_batch(lazy))
+
+
 @pytest.mark.parametrize("seed,indel", [(21, 0.0), (22, 0.05)])
 def test_device_finish_matches_host_finish(seed, indel):
     from gnumap_tpu.pipeline import mapper as pl
