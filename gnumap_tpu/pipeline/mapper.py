@@ -390,17 +390,24 @@ class TpuMapper:
 
     def _device_map_tb(self, codes, pwm_q, lens, *big):
         """Scoring + exact retention + winner compaction + device traceback,
-        all in ONE device program with ONE int32 output blob:
+        all in ONE device program with ONE flat int32 output blob:
 
-          blob[:, :6]  per-hit meta [flat_idx, cand, score, j_final,
-                       n_keep, n_valid_candidates] (-1 flat_idx = empty)
-          blob[:, 6:]  traceback ops, two uint16 rows per int32 word
+          blob[:7*H]   per-hit meta [flat_idx, cand, score, j_final,
+                       n_keep, n_valid_candidates, indel_slot] x H rows
+                       (-1 flat_idx = empty, indel_slot -1 = pure-match)
+          blob[7*H:]   compacted traceback ops for the K indel-bearing
+                       hits only (two uint16 rows per int32 word) — hits
+                       whose walk is all matches need no ops (CIGAR is
+                       "<len>M", pos comes from j_final), and those are
+                       the overwhelming majority, so the fetch shrinks
+                       ~8x versus shipping every hit's ops row.
 
-        Hit capacity H = B2 rows; if a batch retains more (n_keep > H,
-        pathological repeat load), finish_devtb falls back to the
-        full-fetch host path.  Replaces the native C++ host traceback on
-        the TPU path (STATUS.md round-1 plan: "device-side direction-bit
-        traceback removes the host ceiling")."""
+        Hit capacity H = B2 rows, indel capacity K = H/8; if a batch
+        retains more (n_keep > H or n_indel > K — pathological loads),
+        finish_devtb falls back to the full-fetch host path.  Replaces
+        the native C++ host traceback on the TPU path (STATUS.md round-1
+        plan: "device-side direction-bit traceback removes the host
+        ceiling")."""
         cfg = self.cfg
         cands, valid, scores, max_sc = self._device_map_args(
             codes, pwm_q, lens, *big)
@@ -435,13 +442,32 @@ class TpuMapper:
                 slack=cfg.gap_slack, open_q=cfg.gap_open_q(),
                 ext_q=cfg.gap_extend_q(), interpret=self._interpret,
                 sublanes=cfg.pallas_tb_sublanes)
+        with jax.named_scope("indel_compact"):
+            Lp = ops.shape[1]
+            K = max(1, H // 8)
+            in_read = (jnp.arange(Lp, dtype=jnp.int32)[None, :]
+                       < len_h[:, None])
+            has_indel = jnp.any((ops != 0) & in_read, axis=1) & valid_h
+            ki = jnp.cumsum(has_indel.astype(jnp.int32)) - 1
+            n_indel = ki[-1] + 1
+            islot = jnp.where(has_indel, ki, -1)       # per-hit ops slot
+            src = jnp.full((K,), 0, jnp.int32).at[
+                jnp.where(has_indel, ki, K)].set(
+                jnp.arange(H, dtype=jnp.int32), mode="drop")
+            ops_c = ops[src]                            # (K, Lp) int16
         nk = jnp.full((H,), n_keep, jnp.int32)
         nv = jnp.full((H,), jnp.sum(valid.astype(jnp.int32)), jnp.int32)
-        meta = jnp.stack([hit_flat, cand_h, score_h, jfin, nk, nv], axis=1)
-        Lp = ops.shape[1]
+        meta = jnp.stack([hit_flat, cand_h, score_h, jfin, nk, nv, islot],
+                         axis=1)
         ops32 = jax.lax.bitcast_convert_type(
-            ops.astype(jnp.uint16).reshape(H, Lp // 2, 2), jnp.int32)
-        return jnp.concatenate([meta, ops32], axis=1)
+            ops_c.astype(jnp.uint16).reshape(K, Lp // 2, 2), jnp.int32)
+        # one FLAT fetch (the tunnel charges per-array latency); n_indel
+        # rides in meta slot arithmetic: islot >= n_indel never happens,
+        # and overflow is detected host-side via max(islot)+1 vs K... the
+        # true count is needed exactly, so append it as one extra word.
+        return jnp.concatenate(
+            [meta.reshape(-1), ops32.reshape(-1),
+             n_indel.reshape(1)], axis=0)
 
     # ------------------------------------------------------------------
     # Host finishing
@@ -492,28 +518,30 @@ class TpuMapper:
         t0 = time.perf_counter()
         blob = np.asarray(dev_out)
         t1 = time.perf_counter()
-        H = blob.shape[0]
         C = cfg.max_candidates
         B = batch.codes.shape[0]
-        n_keep = int(blob[0, 4])
-        n_valid = int(blob[0, 5])
-        if n_keep > H:
-            # hit-capacity overflow (extreme repeat batch): re-dispatch on
-            # the full-fetch host path — exact, just slower
+        H = 2 * B
+        K = max(1, H // 8)
+        meta_all = blob[:7 * H].reshape(H, 7)
+        n_keep = int(meta_all[0, 4])
+        n_valid = int(meta_all[0, 5])
+        n_indel = int(blob[-1])
+        if n_keep > H or n_indel > K:
+            # capacity overflow (extreme repeat / indel batch): re-dispatch
+            # on the full-fetch host path — exact, just slower
             return self.finish_host(
                 batch, self._map_packed(jnp.asarray(batch.codes),
                                         jnp.asarray(batch.pwm_q),
                                         jnp.asarray(batch.lens)), stats)
-        meta = blob[:n_keep, :6]
-        ops = np.ascontiguousarray(blob[:n_keep, 6:]).view(np.uint16)
-        Lp = ops.shape[1]
+        meta = meta_all[:n_keep]
+        ops_c = np.ascontiguousarray(
+            blob[7 * H:-1].reshape(K, -1)).view(np.uint16)
         rows = meta[:, 0] // C
         b_idx = rows % B
         minus = rows >= B
         pos = cfg.window_start(meta[:, 1]) + meta[:, 3]
         lens_h = batch.lens[b_idx]
-        lanes = np.arange(Lp, dtype=np.int32)[None, :]
-        has_indel = (ops * (lanes < lens_h[:, None])).any(axis=1)
+        islot = meta[:, 6]
         out: List[List[ReadHit]] = [[] for _ in range(batch.n)]
         per_read: Dict[int, Dict[Tuple[str, int], ReadHit]] = {}
         for h in range(n_keep):
@@ -521,8 +549,8 @@ class TpuMapper:
             if b >= batch.n:
                 continue
             L = int(lens_h[h])
-            if has_indel[h]:
-                cigar, rl = nw_pallas.decode_ops(ops[h], L)
+            if islot[h] >= 0:
+                cigar, rl = nw_pallas.decode_ops(ops_c[islot[h]], L)
             else:
                 cigar, rl = f"{L}M", L
             st = "-" if minus[h] else "+"

@@ -129,14 +129,15 @@ def test_device_threshold_exact():
 
 
 def _pipeline_workload(seed, n_reads=60, glen=2000, rl=36, sub=0.02,
-                       indel=0.01, repeats=False):
+                       indel=0.01, repeats=False, ratio=0.9):
     from gnumap_tpu.utils import sim
     from gnumap_tpu.index import builder
     from gnumap_tpu.io import fastq as io_fastq
     from gnumap_tpu.core import packing, pwm as pwm_mod
     cfg = MapperConfig(mer_size=8, seed_jump=4, batch_size=32,
                        max_read_len=40, max_candidates=16,
-                       max_hits_per_seed=16, sam_out=False, sgr_out=False)
+                       max_hits_per_seed=16, sam_out=False, sgr_out=False,
+                       align_score_ratio=ratio)
     genome = sim.random_genome(glen, seed=seed)
     if repeats:
         genome = genome[:200] * (glen // 200)
@@ -200,6 +201,25 @@ def test_device_finish_matches_host_finish(seed, indel):
                          finish_impl="device")
     for b in batches:
         _hits_equal(m_host.map_batch(b), m_dev.map_batch(b))
+
+
+def test_device_finish_indel_heavy():
+    """Every read carries an indel: exercises the compacted-ops fetch and,
+    when the indel count exceeds the K = H/8 capacity, the fallback."""
+    from gnumap_tpu.pipeline import mapper as pl
+    cfg, gen, idx, batches = _pipeline_workload(55, n_reads=60, indel=1.0,
+                                                ratio=0.6)
+    m_host = pl.TpuMapper(gen, idx, cfg, align_impl="pallas",
+                          finish_impl="host")
+    m_dev = pl.TpuMapper(gen, idx, cfg, align_impl="pallas",
+                         finish_impl="device")
+    n_indel_cigars = 0
+    for b in batches:
+        hh = m_host.map_batch(b)
+        _hits_equal(hh, m_dev.map_batch(b))
+        n_indel_cigars += sum(1 for hl in hh for h in hl
+                              if "I" in h.cigar or "D" in h.cigar)
+    assert n_indel_cigars > 20
 
 
 def test_device_finish_overflow_fallback():
