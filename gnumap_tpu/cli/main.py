@@ -159,7 +159,13 @@ def main(argv=None) -> int:
                 f"index mer_size {index.mer_size} != -m {cfg.mer_size}")
     else:
         genome = builder.Genome.from_fasta(args.genome)
-        if args.index_type == "fm":
+        if cfg.bisulfite:
+            if args.index_type == "fm":
+                raise SystemExit("--index-type fm does not support "
+                                 "bisulfite mode yet (collapsed-alphabet "
+                                 "seeding needs the CSR pair)")
+            index = builder.build_bs_index(genome, cfg)
+        elif args.index_type == "fm":
             from gnumap_tpu.index import fm
             index = fm.build_fm_index(genome, cfg)
         else:

@@ -95,8 +95,11 @@ class MapperConfig:
     min_coverage_emit: float = 1e-6  # SGR: positions below this are skipped
 
     def __post_init__(self):
-        if not (1 <= self.mer_size <= 15):
-            raise ValueError("mer_size must be in [1, 15] (4^m index buckets)")
+        limit = 18 if self.bisulfite else 15
+        if not (1 <= self.mer_size <= limit):
+            raise ValueError(
+                f"mer_size must be in [1, {limit}] "
+                "(4^m index buckets; bisulfite seeds are base-3, 3^m)")
         if self.seed_jump < 1:
             raise ValueError("seed_jump must be >= 1")
         if not (0.0 < self.align_score_ratio <= 1.0):

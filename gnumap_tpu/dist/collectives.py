@@ -52,6 +52,11 @@ class DistMapper:
 
     def __init__(self, genome: Genome, index: CsrIndex, cfg: MapperConfig,
                  mesh: jax.sharding.Mesh, align_impl: str = "jnp"):
+        if cfg.bisulfite:
+            raise NotImplementedError(
+                "bisulfite mode on the sharded-index path is not wired up "
+                "yet — shard both collapsed CSR tables; use SegmentedMapper "
+                "or the single-device TpuMapper for bisulfite workloads")
         self.cfg = cfg
         self.mesh = mesh
         self.align_impl = align_impl

@@ -67,7 +67,8 @@ class SegmentedMapper:
         self.mappers: List[pl.TpuMapper] = []
         for group in contig_groups:
             genome = builder.Genome.from_contigs(list(group))
-            index = builder.build_index(genome, cfg)
+            index = (builder.build_bs_index(genome, cfg) if cfg.bisulfite
+                     else builder.build_index(genome, cfg))
             self.mappers.append(pl.TpuMapper(genome, index, cfg,
                                              align_impl=align_impl))
 

@@ -75,14 +75,75 @@ class CsrIndex:
 
     @property
     def n_buckets(self) -> int:
-        return 4 ** self.mer_size
+        # 4^m for the normal index, 3^m for bisulfite collapsed tables
+        return len(self.bucket_start) - 1
 
     def lookup(self, kmer: int) -> np.ndarray:
         s, e = self.bucket_start[kmer], self.bucket_start[kmer + 1]
         return self.positions[s:e]
 
 
-def build_index(genome: Genome, cfg: MapperConfig) -> CsrIndex:
+def collapse_codes(codes: np.ndarray, mode: str) -> np.ndarray:
+    """Bisulfite seeding alphabet collapse [FROZEN]: 'ct' folds C into T
+    (plus-strand converted reads), 'ga' folds G into A (minus-strand).
+    N (4) is preserved.  GNUMAP-bs seeds on the collapsed alphabet so
+    conversion never breaks a seed (SURVEY.md §2 "Bisulfite mode")."""
+    codes = np.asarray(codes)
+    if mode == "ct":
+        return np.where(codes == 1, np.int8(3), codes).astype(codes.dtype)
+    if mode == "ga":
+        return np.where(codes == 2, np.int8(0), codes).astype(codes.dtype)
+    raise ValueError(f"unknown collapse mode {mode!r}")
+
+
+# base-3 digit per raw code for collapsed k-mers [FROZEN]: the collapsed
+# alphabet has 3 letters, so k-mer codes are base-3 — a dense 3^m table
+# instead of a 4x-wasteful 4^m one, letting bisulfite use longer seeds
+# (the collapsed alphabet is more repetitive, so it needs them).
+# 'ct': A->0 G->1 {C,T}->2 ; 'ga': {A,G}->0 C->1 T->2 ; N -> -1 (invalid).
+BS_DIGITS = {"ct": np.array([0, 2, 1, 2, -1], np.int8),
+             "ga": np.array([0, 1, 0, 2, -1], np.int8)}
+
+
+def kmer_codes_b3(codes: np.ndarray, m: int, collapse: str):
+    """Base-3 collapsed k-mer codes + validity mask (no N in window)."""
+    d = BS_DIGITS[collapse][np.asarray(codes, np.int64)]
+    n = len(codes) - m + 1
+    if n <= 0:
+        return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=bool))
+    isn = d < 0
+    base = np.where(isn, 0, d).astype(np.int64)
+    kmers = np.zeros(n, dtype=np.int64)
+    bad = np.zeros(n, dtype=np.int64)
+    p3 = 1
+    for k in range(m - 1, -1, -1):
+        kmers += base[k:k + n] * p3
+        bad += isn[k:k + n]
+        p3 *= 3
+    return kmers, bad == 0
+
+
+@dataclasses.dataclass
+class BsIndexPair:
+    """Per-strand collapsed seed indexes for bisulfite mode: ``plus`` is
+    built over the C->T-collapsed genome (for plus-strand reads, collapsed
+    the same way), ``minus`` over the G->A-collapsed genome (for the
+    reverse-complemented minus-strand reads)."""
+    plus: CsrIndex
+    minus: CsrIndex
+
+    @property
+    def mer_size(self) -> int:
+        return self.plus.mer_size
+
+
+def build_bs_index(genome: Genome, cfg: MapperConfig) -> BsIndexPair:
+    return BsIndexPair(build_index(genome, cfg, collapse="ct"),
+                       build_index(genome, cfg, collapse="ga"))
+
+
+def build_index(genome: Genome, cfg: MapperConfig,
+                collapse: "str | None" = None) -> CsrIndex:
     """Single-pass vectorized build (reference loop in SURVEY.md §3.2 done
     with bincount + stable argsort instead of hash insertions).
 
@@ -93,15 +154,21 @@ def build_index(genome: Genome, cfg: MapperConfig) -> CsrIndex:
     if len(genome.codes) > np.iinfo(np.int32).max:
         raise ValueError("genome too large for int32 CSR offsets; "
                          "use shard-wise builds (config 5)")
-    from gnumap_tpu.native import lib as native_lib
-    if native_lib.available():
-        bucket_start, positions = native_lib.build_csr_index(genome.codes, m)
-        return CsrIndex(m, bucket_start, positions)
-    kmers, valid = packing.kmer_codes(genome.codes, m)
+    if collapse is None:
+        from gnumap_tpu.native import lib as native_lib
+        if native_lib.available():
+            bucket_start, positions = native_lib.build_csr_index(
+                genome.codes, m)
+            return CsrIndex(m, bucket_start, positions)
+        kmers, valid = packing.kmer_codes(genome.codes, m)
+        nb = 4 ** m
+    else:
+        kmers, valid = kmer_codes_b3(genome.codes, m, collapse)
+        nb = 3 ** m
     vk = kmers[valid].astype(np.int64)
     vpos = np.nonzero(valid)[0].astype(np.int32)
-    counts = np.bincount(vk, minlength=4 ** m)
-    bucket_start = np.zeros(4 ** m + 1, dtype=np.int64)
+    counts = np.bincount(vk, minlength=nb)
+    bucket_start = np.zeros(nb + 1, dtype=np.int64)
     np.cumsum(counts, out=bucket_start[1:])
     order = np.argsort(vk, kind="stable")
     positions = vpos[order]

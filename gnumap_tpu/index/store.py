@@ -32,7 +32,15 @@ def save_index(path: str, genome: Genome, index) -> None:
         starts=genome.starts, lengths=genome.lengths,
         mer_size=np.int64(index.mer_size))
     out = path if path.endswith(".npz") else path + ".npz"
-    if isinstance(index, FmIndex):
+    from gnumap_tpu.index.builder import BsIndexPair
+    if isinstance(index, BsIndexPair):
+        np.savez_compressed(out, kind="csr_bs",
+                            bucket_start=index.plus.bucket_start,
+                            positions=index.plus.positions,
+                            bucket_start_minus=index.minus.bucket_start,
+                            positions_minus=index.minus.positions,
+                            **common)
+    elif isinstance(index, FmIndex):
         np.savez_compressed(out, kind="fm", sa=index.sa,
                             bwt_words=index.bwt_words, occ=index.occ,
                             c_table=index.c_table, **common)
@@ -57,6 +65,12 @@ def load_index(path: str) -> Tuple[Genome, CsrIndex]:
         from gnumap_tpu.index.fm import FmIndex
         index = FmIndex(int(z["mer_size"]), z["sa"], z["bwt_words"],
                         z["occ"], z["c_table"])
+    elif kind == "csr_bs":
+        from gnumap_tpu.index.builder import BsIndexPair
+        m = int(z["mer_size"])
+        index = BsIndexPair(
+            CsrIndex(m, z["bucket_start"], z["positions"]),
+            CsrIndex(m, z["bucket_start_minus"], z["positions_minus"]))
     else:
         index = CsrIndex(int(z["mer_size"]), z["bucket_start"],
                          z["positions"])

@@ -93,13 +93,28 @@ class OracleGenome:
         return out
 
 
-def build_oracle_index(gen: OracleGenome, cfg: MapperConfig) -> Dict[int, List[int]]:
-    kmers, valid = packing.kmer_codes(gen.codes, cfg.mer_size)
+def build_oracle_index(gen: OracleGenome, cfg: MapperConfig,
+                       collapse: str | None = None) -> Dict[int, List[int]]:
+    if collapse is None:
+        kmers, valid = packing.kmer_codes(gen.codes, cfg.mer_size)
+    else:
+        # bisulfite [FROZEN]: base-3 collapsed-alphabet k-mers
+        from gnumap_tpu.index.builder import kmer_codes_b3
+        kmers, valid = kmer_codes_b3(gen.codes, cfg.mer_size, collapse)
     table: Dict[int, List[int]] = {}
     for p in range(len(kmers)):
         if valid[p]:
             table.setdefault(int(kmers[p]), []).append(p)
     return table
+
+
+def build_oracle_bs_indexes(gen: OracleGenome, cfg: MapperConfig):
+    """(plus, minus) collapsed indexes for bisulfite mode [FROZEN]:
+    plus-strand reads seed on the C->T-collapsed alphabet, minus-strand
+    (reverse-complemented) reads on G->A — conversion never breaks a seed
+    (GNUMAP-bs, SURVEY.md §2)."""
+    return (build_oracle_index(gen, cfg, "ct"),
+            build_oracle_index(gen, cfg, "ga"))
 
 
 # ---------------------------------------------------------------------------
@@ -200,10 +215,15 @@ class Hit:
 
 
 def candidates_for(codes: np.ndarray, index: Dict[int, List[int]],
-                   cfg: MapperConfig) -> List[int]:
+                   cfg: MapperConfig,
+                   collapse: str | None = None) -> List[int]:
     L = len(codes)
     m = cfg.mer_size
-    kmers, valid = packing.kmer_codes(codes, m)
+    if collapse is None:
+        kmers, valid = packing.kmer_codes(codes, m)
+    else:
+        from gnumap_tpu.index.builder import kmer_codes_b3
+        kmers, valid = kmer_codes_b3(codes, m, collapse)
     cands = set()
     for off in range(0, L - m + 1, cfg.seed_jump):
         if off >= len(kmers) or not valid[off]:
@@ -227,6 +247,16 @@ def map_read(codes: np.ndarray, pwm_q: np.ndarray, gen: OracleGenome,
     W = cfg.window_width()
     hits: List[Hit] = []
     thresholds = {}
+    # bisulfite mode [FROZEN]: per-strand collapsed-alphabet seeding —
+    # ``index`` must be the (plus, minus) pair from build_oracle_bs_indexes
+    if cfg.bisulfite:
+        if not (isinstance(index, tuple) and len(index) == 2):
+            raise ValueError("bisulfite mode requires the (plus, minus) "
+                             "collapsed index pair "
+                             "(build_oracle_bs_indexes)")
+        strand_idx = {"+": (index[0], "ct"), "-": (index[1], "ga")}
+    else:
+        strand_idx = {"+": (index, None), "-": (index, None)}
     for strand, S_q in (("+", S_plus), ("-", S_minus)):
         if strand == "+":
             c_s, p_s = codes, pwm_q
@@ -235,7 +265,8 @@ def map_read(codes: np.ndarray, pwm_q: np.ndarray, gen: OracleGenome,
         emis = scoring.emission_int(p_s, S_q)
         max_s = int(scoring.max_read_score(emis[None])[0])
         thresholds[strand] = cfg.threshold_for(max_s)
-        for cand in candidates_for(c_s, index, cfg):
+        s_index, s_collapse = strand_idx[strand]
+        for cand in candidates_for(c_s, s_index, cfg, collapse=s_collapse):
             win_start = cfg.window_start(cand)
             window = gen.window(win_start, W)
             score = nw_align(emis, window, cfg)

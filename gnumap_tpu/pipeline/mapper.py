@@ -99,6 +99,20 @@ def seed_kmers(codes2, offsets, m):
     return km, bad
 
 
+def seed_kmers_b3(codes2, offsets, m, digits):
+    """Base-3 collapsed k-mer codes at the static seed offsets (bisulfite
+    seeding [FROZEN]; digit tables in index/builder.BS_DIGITS)."""
+    d = digits[jnp.clip(codes2.astype(jnp.int32), 0, 4)]
+    isn = d < 0
+    base = jnp.where(isn, 0, d)
+    km = jnp.zeros(codes2.shape[:1] + offsets.shape, dtype=jnp.int32)
+    bad = jnp.zeros_like(km, dtype=bool)
+    for k in range(m):
+        km = km * 3 + base[:, offsets + k]
+        bad = bad | isn[:, offsets + k]
+    return km, bad
+
+
 def csr_hits(km, bad, bucket_start, positions, offsets, cfg):
     """Per-seed candidate anchors from a CSR table: (B2, S, caph) int32 with
     SENTINEL at invalid slots.  ``bucket_start`` may be a shard (with the
@@ -211,18 +225,33 @@ class TpuMapper:
         # the jnp window-gather path; the pallas path uses g_words)
         self.g_codes = (jnp.asarray(genome.codes) if align_impl != "pallas"
                         else None)
-        # seed-lookup backend: CSR (dense hash-as-arrays) or FM (BWT);
-        # identical candidate sets (index/fm.py docstring)
+        # seed-lookup backend: CSR (dense hash-as-arrays), FM (BWT), or the
+        # bisulfite per-strand collapsed CSR pair; identical candidate sets
+        # per backend (index/fm.py docstring, builder.BsIndexPair)
         from gnumap_tpu.index.fm import FmIndex
-        self.index_kind = "fm" if isinstance(index, FmIndex) else "csr"
-        if self.index_kind == "fm":
+        from gnumap_tpu.index.builder import BsIndexPair
+        if isinstance(index, BsIndexPair):
+            self.index_kind = "csr_bs"
+            self._idx_args = (jnp.asarray(index.plus.bucket_start),
+                              jnp.asarray(index.plus.positions),
+                              jnp.asarray(index.minus.bucket_start),
+                              jnp.asarray(index.minus.positions))
+        elif isinstance(index, FmIndex):
+            self.index_kind = "fm"
             self._idx_args = (jnp.asarray(index.sa),
                               jnp.asarray(index.bwt_words),
                               jnp.asarray(index.occ),
                               jnp.asarray(index.c_table))
         else:
+            self.index_kind = "csr"
             self._idx_args = (jnp.asarray(index.bucket_start),
                               jnp.asarray(index.positions))
+        if cfg.bisulfite and self.index_kind != "csr_bs":
+            raise ValueError(
+                "bisulfite mode seeds on the per-strand collapsed alphabet "
+                "[FROZEN]; build the index with builder.build_bs_index")
+        if self.index_kind == "csr_bs" and not cfg.bisulfite:
+            raise ValueError("BsIndexPair requires bisulfite=True")
         self.bucket_start, self.positions = (
             self._idx_args if self.index_kind == "csr" else (None, None))
         self.S_plus = jnp.asarray(S_plus)
@@ -284,12 +313,30 @@ class TpuMapper:
         (sa, bwt_words, occ, c_table) arrays."""
         cfg = self.cfg
         idx_args = self._idx_args if idx_args is None else idx_args
-        km, bad = seed_kmers(codes2, self.offsets, cfg.mer_size)
-        if self.index_kind == "fm":
-            from gnumap_tpu.index.fm import fm_hits
-            cand = fm_hits(km, bad, *idx_args, self.offsets, cfg)
+        if self.index_kind == "csr_bs":
+            # bisulfite [FROZEN]: plus rows seed C->T-collapsed against the
+            # C->T genome index, minus (revcomp) rows G->A (GNUMAP-bs —
+            # conversion never breaks a seed); base-3 k-mer codes
+            from gnumap_tpu.index.builder import BS_DIGITS
+            B = codes2.shape[0] // 2
+            kmp, badp = seed_kmers_b3(
+                codes2[:B], self.offsets, cfg.mer_size,
+                jnp.asarray(BS_DIGITS["ct"], jnp.int32))
+            kmm, badm = seed_kmers_b3(
+                codes2[B:], self.offsets, cfg.mer_size,
+                jnp.asarray(BS_DIGITS["ga"], jnp.int32))
+            cand = jnp.concatenate([
+                csr_hits(kmp, badp, idx_args[0], idx_args[1],
+                         self.offsets, cfg),
+                csr_hits(kmm, badm, idx_args[2], idx_args[3],
+                         self.offsets, cfg)], axis=0)
         else:
-            cand = csr_hits(km, bad, *idx_args, self.offsets, cfg)
+            km, bad = seed_kmers(codes2, self.offsets, cfg.mer_size)
+            if self.index_kind == "fm":
+                from gnumap_tpu.index.fm import fm_hits
+                cand = fm_hits(km, bad, *idx_args, self.offsets, cfg)
+            else:
+                cand = csr_hits(km, bad, *idx_args, self.offsets, cfg)
         cands = dedupe_cap(cand, cfg.max_candidates)
         return cands, cands != SENTINEL
 

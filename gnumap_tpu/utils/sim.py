@@ -55,10 +55,15 @@ class SimRead:
 def simulate_reads(genome: str, n_reads: int, read_len: int, seed: int = 1,
                    sub_rate: float = 0.01, contig: str = "chr",
                    qual_lo: int = 20, qual_hi: int = 40,
-                   indel_rate: float = 0.0) -> List[SimRead]:
+                   indel_rate: float = 0.0,
+                   bisulfite: bool = False,
+                   methylation_rate: float = 0.2) -> List[SimRead]:
     """Uniform sampling of both strands with quality-correlated base errors;
     ``indel_rate`` = per-read probability of one 1-2bp insertion or deletion
-    (exercises gapped-alignment CIGARs end to end)."""
+    (exercises gapped-alignment CIGARs end to end).  ``bisulfite`` converts
+    unmethylated fragment Cs to T before strand flip (the GNUMAP-bs
+    workload: read T over genome C on +, read A over genome G on -);
+    ``methylation_rate`` of Cs stay protected."""
     rng = np.random.default_rng(seed)
     g = packing.encode(genome)
     G = len(g)
@@ -77,6 +82,17 @@ def simulate_reads(genome: str, n_reads: int, read_len: int, seed: int = 1,
             else:                     # insertion of random bases
                 ins = rng.integers(0, 4, size=k).astype(np.int8)
                 frag = np.concatenate([frag[:p], ins, frag[p:]])[:read_len]
+        if bisulfite:
+            # '+' reads come from the converted + template (C->T); '-'
+            # reads from the converted - template, which in + coordinates
+            # is G->A (the read itself is the revcomp of that)
+            if strand == "+":
+                src, dst = np.int8(1), np.int8(3)
+            else:
+                src, dst = np.int8(2), np.int8(0)
+            convert = (frag == src) & (rng.random(len(frag))
+                                       >= methylation_rate)
+            frag = np.where(convert, dst, frag)
         if strand == "-":
             frag = packing.revcomp(frag)
         quals = rng.integers(qual_lo, qual_hi + 1, size=read_len)

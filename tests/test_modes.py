@@ -38,7 +38,7 @@ def bs_setup():
                        bisulfite=True)
     genome = sim.random_genome(4000, seed=21)
     gen = builder.Genome.from_contigs([("bs", genome)])
-    idx = builder.build_index(gen, cfg)
+    idx = builder.build_bs_index(gen, cfg)
     return cfg, genome, gen, idx
 
 
@@ -50,7 +50,7 @@ def test_bisulfite_reads_map(bs_setup):
     g = packing.encode(genome)
     m = pl.TpuMapper(gen, idx, cfg)
     cfg_norm = MapperConfig(**{**cfg.__dict__, "bisulfite": False})
-    m_norm = pl.TpuMapper(gen, idx, cfg_norm)
+    m_norm = pl.TpuMapper(gen, builder.build_index(gen, cfg_norm), cfg_norm)
     reads = []
     truths = []
     for i in range(24):
@@ -103,10 +103,35 @@ def test_bisulfite_minus_strand(bs_setup):
     assert n_ok >= 9, f"only {n_ok}/12 minus-strand converted reads mapped"
 
 
+def test_bisulfite_collapsed_seeding_sparse_seeds():
+    """At realistic seed sparsity (mer 12, jump 5) heavily converted reads
+    still map ~fully: the collapsed-alphabet index is what makes the seeds
+    conversion-proof (plain exact seeding fails here)."""
+    cfg = MapperConfig(mer_size=12, seed_jump=5, batch_size=64,
+                       max_read_len=104, align_score_ratio=0.75,
+                       bisulfite=True)
+    genome = sim.random_genome(200_000, seed=77)
+    gen = builder.Genome.from_contigs([("bsl", genome)])
+    m = pl.TpuMapper(gen, builder.build_bs_index(gen, cfg), cfg)
+    reads = sim.simulate_reads(genome, 64, 100, seed=3, sub_rate=0.005,
+                               contig="bsl", bisulfite=True,
+                               methylation_rate=0.1)
+    recs = records_from_sim(reads, cfg)
+    batch = next(io_fastq.batch_reads(iter(recs), cfg))
+    n_ok = 0
+    for b, hits in enumerate(m.map_batch(batch)):
+        if hits:
+            best = max(hits, key=lambda h: h.weight)
+            if (abs(best.pos - reads[b].true_pos) <= 2
+                    and best.strand == reads[b].true_strand):
+                n_ok += 1
+    assert n_ok >= 62, f"collapsed seeding mapped only {n_ok}/64"
+
+
 def test_bisulfite_pipeline_matches_oracle(bs_setup):
     cfg, genome, gen, idx = bs_setup
     ogen = oracle.OracleGenome.from_contigs([("bs", genome)])
-    oidx = oracle.build_oracle_index(ogen, cfg)
+    oidx = oracle.build_oracle_bs_indexes(ogen, cfg)
     rng = np.random.default_rng(7)
     g = packing.encode(genome)
     m = pl.TpuMapper(gen, idx, cfg)
