@@ -48,6 +48,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="skip seeds with more index hits than this")
     p.add_argument("-q", "--max-candidates", type=int, default=128,
                    help="candidate loci cap per read+strand")
+    p.add_argument("--sort-sam", action="store_true",
+                   help="coordinate-sort the SAM output (samtools order)")
     p.add_argument("--index-type", choices=["csr", "fm"], default="csr",
                    help="seed index backend: dense CSR table (default) or "
                         "BWT/FM (the reference's GenomeBwt variant)")
@@ -225,6 +227,8 @@ def main(argv=None) -> int:
     t_map = time.perf_counter() - t1
     if sam_f:
         sam_f.close()
+        if args.sort_sam:
+            sam_io.sort_sam_file(sam_path, genome.names)
     if cfg.sgr_out:
         with open(args.output + ".sgr", "w") as f:
             sgr_io.write_sgr(f, genome, res.coverage, cfg.min_coverage_emit)

@@ -39,9 +39,14 @@ N_SYMS = 8              # $, A, C, G, T, N (padded to 8 for gather alignment)
 
 
 def suffix_array(codes: np.ndarray) -> np.ndarray:
-    """Suffix array of codes + terminal sentinel (prefix-doubling,
-    O(n log^2 n) with numpy lexsorts).  Returns int32[n + 1]; sa[0] = n
-    (the sentinel suffix)."""
+    """Suffix array of codes + terminal sentinel.  Returns int32[n + 1];
+    sa[0] = n (the sentinel suffix).  Uses the native linear-time SA-IS
+    (native/suffix.cpp) when available; the numpy prefix-doubling below
+    (O(n log^2 n)) is the always-available fallback and the conformance
+    reference for it (tests/test_fm.py)."""
+    from gnumap_tpu.native import lib as native_lib
+    if native_lib.available():
+        return native_lib.suffix_array(codes)
     t = np.concatenate([np.asarray(codes, np.int64) + 1, [0]])
     n = len(t)
     rank = t.copy()

@@ -41,3 +41,25 @@ def record(qname: str, flag: int, rname: str, pos0: int, mapq: int,
 
 def unmapped_record(qname: str, seq: str, qual: str) -> str:
     return f"{qname}\t4\t*\t0\t0\t*\t*\t0\t0\t{seq}\t{qual}\n"
+
+
+def sort_sam_file(path: str, ref_names: Sequence[str]) -> None:
+    """Coordinate-sort a SAM file in place (samtools-sort order: reference
+    sequence in @SQ header order, then 1-based POS ascending; unmapped
+    records last).  Streams whole-file in memory — fine for the scales this
+    single-file writer targets; the header's SO tag flips to coordinate."""
+    order = {n: i for i, n in enumerate(ref_names)}
+    headers, recs = [], []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("@"):
+                headers.append(line.replace("SO:unsorted", "SO:coordinate")
+                               if line.startswith("@HD") else line)
+            else:
+                t = line.split("\t", 4)
+                key = (order.get(t[2], len(order)), int(t[3]))
+                recs.append((key, line))
+    recs.sort(key=lambda kv: kv[0])
+    with open(path, "w") as f:
+        f.writelines(headers)
+        f.writelines(line for _, line in recs)

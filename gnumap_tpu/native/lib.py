@@ -72,6 +72,9 @@ def get_lib():
         lib.build_csr_index.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p]
+        lib.suffix_array_sais.restype = None
+        lib.suffix_array_sais.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p]
         lib.parse_fastq_chunk.restype = ctypes.c_int32
         lib.parse_fastq_chunk.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
@@ -181,6 +184,16 @@ def finish_hits(pwm_q: np.ndarray, lens: np.ndarray, genome: np.ndarray,
         seg = raw[h * CIGAR_STRIDE:(h + 1) * CIGAR_STRIDE]
         cigars.append(seg[:seg.index(0)].decode())
     return score, pos, rl, cigars
+
+
+def suffix_array(codes: np.ndarray) -> np.ndarray:
+    """Linear-time SA-IS suffix array of codes + sentinel (int32[n+1]);
+    byte-identical to index/fm.py's numpy prefix-doubling path."""
+    lib = get_lib()
+    codes = np.ascontiguousarray(codes, np.int8)
+    sa = np.empty(len(codes) + 1, np.int32)
+    lib.suffix_array_sais(codes.ctypes.data, len(codes), sa.ctypes.data)
+    return sa
 
 
 def build_csr_index(codes: np.ndarray, m: int):

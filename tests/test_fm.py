@@ -24,6 +24,38 @@ def test_suffix_array_matches_naive():
     assert list(sa) == naive
 
 
+def test_native_sais_matches_numpy_doubling():
+    from gnumap_tpu.native import lib as native_lib
+    if not native_lib.available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(4)
+    for n in [1, 2, 37, 1000, 5000]:
+        codes = rng.integers(0, 5, n).astype(np.int8)
+        # degenerate repeats stress the LMS naming recursion
+        if n >= 1000:
+            codes[: n // 2] = np.tile(codes[:25], n // 50)[: n // 2]
+        got = native_lib.suffix_array(codes)
+        # numpy prefix-doubling reference (the always-available path)
+        t = np.concatenate([codes.astype(np.int64) + 1, [0]])
+        nn = len(t)
+        rank = t.copy()
+        k = 1
+        while True:
+            key2 = np.full(nn, -1, np.int64)
+            key2[:nn - k] = rank[k:]
+            order = np.lexsort((key2, rank))
+            r1, r2 = rank[order], key2[order]
+            neq = np.ones(nn, bool)
+            neq[1:] = (r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])
+            nr = np.cumsum(neq) - 1
+            rank = np.empty(nn, np.int64)
+            rank[order] = nr
+            if nr[-1] == nn - 1:
+                break
+            k *= 2
+        assert (got == order.astype(np.int32)).all(), n
+
+
 def _mk(seed=1, glen=3000, m=6):
     cfg = MapperConfig(mer_size=m, seed_jump=3, batch_size=16,
                        max_read_len=24, max_candidates=16,
