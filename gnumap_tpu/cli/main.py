@@ -146,6 +146,12 @@ def batch_stream(paths, cfg, adaptor=None):
 
 
 def main(argv=None) -> int:
+    # honor the user's JAX_PLATFORMS even when a TPU plugin (axon)
+    # force-overrides it — needed to run the faked multi-device CPU mesh
+    # (--xla_force_host_platform_device_count) on a TPU-equipped host
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     from gnumap_tpu.utils import jaxcache
     jaxcache.enable()
     args = build_arg_parser().parse_args(argv)

@@ -50,13 +50,13 @@ class DistMapper:
     ``allreduce_coverage``.
     """
 
-    def __init__(self, genome: Genome, index: CsrIndex, cfg: MapperConfig,
+    def __init__(self, genome: Genome, index, cfg: MapperConfig,
                  mesh: jax.sharding.Mesh, align_impl: str = "jnp"):
-        if cfg.bisulfite:
-            raise NotImplementedError(
-                "bisulfite mode on the sharded-index path is not wired up "
-                "yet — shard both collapsed CSR tables; use SegmentedMapper "
-                "or the single-device TpuMapper for bisulfite workloads")
+        from gnumap_tpu.index.builder import BsIndexPair
+        self.bisulfite = isinstance(index, BsIndexPair)
+        if cfg.bisulfite != self.bisulfite:
+            raise ValueError("bisulfite mode requires (exactly) the "
+                             "builder.build_bs_index collapsed pair")
         self.cfg = cfg
         self.mesh = mesh
         self.align_impl = align_impl
@@ -69,23 +69,27 @@ class DistMapper:
         L, m = cfg.max_read_len, cfg.mer_size
         self.offsets = np.arange(0, L - m + 1, cfg.seed_jump, dtype=np.int32)
         S_plus, S_minus = scoring.matrices_for_mode(cfg)
-        self.n_buckets = index.n_buckets
+        tables = [index.plus, index.minus] if self.bisulfite else [index]
+        self.n_buckets = tables[0].n_buckets
 
         repl = jax.sharding.NamedSharding(mesh, P())
         idx_shard0 = jax.sharding.NamedSharding(mesh, P(INDEX_AXIS))
-        if S > 1:
-            shards = store.shard_index(index, S)
-            pmax = max(len(sh.positions) for sh in shards)
-            bs = np.stack([sh.bucket_start for sh in shards])
-            ps = np.stack([np.pad(sh.positions,
-                                  (0, pmax - len(sh.positions)))
-                           for sh in shards])
-            self.bucket_start = jax.device_put(bs, idx_shard0)
-            self.positions = jax.device_put(ps, idx_shard0)
-        else:
-            self.bucket_start = jax.device_put(index.bucket_start[None],
-                                               repl)
-            self.positions = jax.device_put(index.positions[None], repl)
+        self._idx_dev = []
+        for tab in tables:
+            if S > 1:
+                shards = store.shard_index(tab, S)
+                pmax = max(len(sh.positions) for sh in shards)
+                bs = np.stack([sh.bucket_start for sh in shards])
+                ps = np.stack([np.pad(sh.positions,
+                                      (0, pmax - len(sh.positions)))
+                               for sh in shards])
+                self._idx_dev += [jax.device_put(bs, idx_shard0),
+                                  jax.device_put(ps, idx_shard0)]
+            else:
+                self._idx_dev += [
+                    jax.device_put(tab.bucket_start[None], repl),
+                    jax.device_put(tab.positions[None], repl)]
+        self.bucket_start, self.positions = self._idx_dev[:2]
         self.S_plus = jax.device_put(S_plus, repl)
         self.S_minus = jax.device_put(S_minus, repl)
         if align_impl == "pallas":
@@ -95,8 +99,9 @@ class DistMapper:
             self.g_arr = jax.device_put(genome.codes, repl)
         self._interpret = jax.default_backend() == "cpu"
 
+        idx_specs = (P(INDEX_AXIS), P(INDEX_AXIS)) * len(tables)
         in_specs = (P(READS_AXIS), P(READS_AXIS), P(READS_AXIS),
-                    P(INDEX_AXIS), P(INDEX_AXIS), P(), P(), P())
+                    *idx_specs, P(), P(), P())
         out_specs = (P(READS_AXIS), P(READS_AXIS), P(READS_AXIS),
                      P(READS_AXIS))
         fn = jax.shard_map(self._shard_fn, mesh=mesh, in_specs=in_specs,
@@ -131,33 +136,59 @@ class DistMapper:
         scores = jax.lax.map(chunk_fn, cc)
         return jnp.transpose(scores, (1, 0, 2)).reshape(cands.shape)
 
-    def _shard_fn(self, codes, pwm_q, lens, bucket_start, positions,
-                  S_plus, S_minus, g_arr):
+    def _route_hits(self, km, bad, bucket_start, positions):
+        """Seed lookup on the (possibly k-mer-range-sharded) CSR table;
+        with index shards, each device looks up only the codes it owns and
+        the hit tables merge with one psum (+offset encoding: SENTINEL ->
+        0, the additive identity)."""
         cfg = self.cfg
-        S = self.S
-        self.g_arr_in = g_arr
-        codes2, emis2 = strand_expand(codes, pwm_q, lens, S_plus, S_minus)
-        lens2 = jnp.concatenate([lens, lens], axis=0)
-        max_sc = nw_ref.max_read_scores(emis2)
-        km, bad = seed_kmers(codes2, self.offsets, cfg.mer_size)
-        if S > 1:
+        if self.S > 1:
             s_idx = jax.lax.axis_index(INDEX_AXIS)
-            Q = self.n_buckets // S
+            Q = -(-self.n_buckets // self.S)
             owned = (km // Q == s_idx) & (~bad)
             km_local = jnp.where(owned, km - s_idx * Q, 0)
             cand = csr_hits(km_local, ~owned, bucket_start[0], positions[0],
                             self.offsets, cfg)
-            # +offset encoding: SENTINEL -> 0 (additive identity for psum)
             off = cfg.max_read_len + 1
             enc = jnp.where(cand == SENTINEL, 0, cand + off)
             enc = jax.lax.psum(enc, INDEX_AXIS)
-            cand = jnp.where(enc == 0, SENTINEL, enc - off)
+            return jnp.where(enc == 0, SENTINEL, enc - off)
+        return csr_hits(km, bad, bucket_start[0], positions[0],
+                        self.offsets, cfg)
+
+    def _shard_fn(self, codes, pwm_q, lens, *rest):
+        cfg = self.cfg
+        S = self.S
+        n_idx = 4 if self.bisulfite else 2
+        idx_arrs = rest[:n_idx]
+        S_plus, S_minus, g_arr = rest[n_idx:]
+        self.g_arr_in = g_arr
+        codes2, emis2 = strand_expand(codes, pwm_q, lens, S_plus, S_minus)
+        lens2 = jnp.concatenate([lens, lens], axis=0)
+        max_sc = nw_ref.max_read_scores(emis2)
+        if self.bisulfite:
+            # per-strand collapsed base-3 seeding (GNUMAP-bs [FROZEN]),
+            # each half routed on its own sharded collapsed table
+            from gnumap_tpu.index.builder import BS_DIGITS
+            from gnumap_tpu.pipeline.mapper import seed_kmers_b3
+            B = codes.shape[0]
+            kmp, badp = seed_kmers_b3(
+                codes2[:B], self.offsets, cfg.mer_size,
+                jnp.asarray(BS_DIGITS["ct"], jnp.int32))
+            kmm, badm = seed_kmers_b3(
+                codes2[B:], self.offsets, cfg.mer_size,
+                jnp.asarray(BS_DIGITS["ga"], jnp.int32))
+            cand = jnp.concatenate([
+                self._route_hits(kmp, badp, idx_arrs[0], idx_arrs[1]),
+                self._route_hits(kmm, badm, idx_arrs[2], idx_arrs[3])],
+                axis=0)
         else:
-            cand = csr_hits(km, bad, bucket_start[0], positions[0],
-                            self.offsets, cfg)
+            km, bad = seed_kmers(codes2, self.offsets, cfg.mer_size)
+            cand = self._route_hits(km, bad, idx_arrs[0], idx_arrs[1])
         cands = dedupe_cap(cand, cfg.max_candidates)
         if S > 1:
             # split candidate slots across the index group: DP cost / S
+            s_idx = jax.lax.axis_index(INDEX_AXIS)
             Cs = cfg.max_candidates // S
             my = jax.lax.dynamic_slice_in_dim(cands, s_idx * Cs, Cs, axis=1)
             sc = self._dp_scores(emis2, my, lens2)
@@ -172,9 +203,8 @@ class DistMapper:
     def map_batch_arrays(self, codes, pwm_q, lens) -> Tuple:
         """Global batch (host-resident ok) -> global outputs.  The batch
         axis is sharded over "reads" by the jitted shard_map."""
-        return self._step(codes, pwm_q, lens, self.bucket_start,
-                          self.positions, self.S_plus, self.S_minus,
-                          self.g_arr)
+        return self._step(codes, pwm_q, lens, *self._idx_dev,
+                          self.S_plus, self.S_minus, self.g_arr)
 
     def _canonical_perm(self, B: int) -> np.ndarray:
         """shard_map stacks each shard's [+ block, - block]; build the

@@ -78,22 +78,26 @@ def load_index(path: str) -> Tuple[Genome, CsrIndex]:
 
 
 def shard_index(index: CsrIndex, n_shards: int) -> List[CsrIndex]:
-    """Split the CSR table by k-mer-code range into n_shards equal bucket
-    ranges (the mesh axis "index" layout, SURVEY.md §2 TP row).
+    """Split the CSR table by k-mer-code range into n_shards bucket ranges
+    (the mesh axis "index" layout, SURVEY.md §2 TP row).
 
-    Shard s owns k-mer codes [s*Q, (s+1)*Q); a query is routed to shard
-    ``kmer // Q`` (static modulo arithmetic — no hashing, so routing is a
-    cheap integer divide on device).
+    Shard s owns k-mer codes [s*Q, (s+1)*Q) with Q = ceil(nb / n_shards);
+    a query is routed to shard ``kmer // Q`` (static integer divide on
+    device — no hashing).  Every shard's bucket array is padded to the
+    uniform Q+1 length (trailing empty buckets) so shards stack into one
+    device-sharded array; non-divisible bucket counts (the base-3
+    bisulfite tables, 3^m) just leave the last shard partly empty.
     """
     nb = index.n_buckets
-    if nb % n_shards:
-        raise ValueError("n_buckets must divide evenly across shards")
-    Q = nb // n_shards
+    Q = -(-nb // n_shards)
     shards = []
     for s in range(n_shards):
-        lo_b, hi_b = s * Q, (s + 1) * Q
+        lo_b, hi_b = min(s * Q, nb), min((s + 1) * Q, nb)
         lo, hi = index.bucket_start[lo_b], index.bucket_start[hi_b]
-        bs = (index.bucket_start[lo_b:hi_b + 1] - lo).astype(np.int32)
+        bs = np.full(Q + 1, int(hi) - int(lo), dtype=np.int32)
+        bs[:hi_b - lo_b + 1] = (
+            index.bucket_start[lo_b:hi_b + 1].astype(np.int64)
+            - int(lo)).astype(np.int32)
         shards.append(CsrIndex(index.mer_size, bs,
                                index.positions[lo:hi].copy()))
     return shards

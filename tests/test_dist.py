@@ -56,6 +56,33 @@ def test_dist_matches_single_device(workload, R, S):
             assert abs(g.weight - r.weight) < 1e-12
 
 
+@pytest.mark.parametrize("R,S", [(4, 2), (2, 4)])
+def test_dist_bisulfite_matches_single_device(R, S):
+    """Sharded bisulfite: both collapsed base-3 tables shard by k-mer
+    range (odd 3^m bucket counts exercise the ceil-partition routing)."""
+    cfg = MapperConfig(mer_size=9, seed_jump=3, batch_size=32,
+                       max_read_len=40, align_score_ratio=0.7,
+                       max_candidates=64, bisulfite=True)
+    genome = sim.random_genome(20_000, seed=3)
+    gen = builder.Genome.from_contigs([("bsd", genome)])
+    idx = builder.build_bs_index(gen, cfg)
+    reads = sim.simulate_reads(genome, 32, 36, seed=9, sub_rate=0.01,
+                               contig="bsd", bisulfite=True)
+    batch = next(io_fastq.batch_reads(
+        iter(records_from_sim(reads, cfg)), cfg))
+    ref_hits = pl.TpuMapper(gen, idx, cfg).map_batch(batch)
+    assert sum(1 for h in ref_hits if h) >= 28  # converted reads do map
+    mesh = mesh_mod.make_mesh(R, S)
+    dm = collectives.DistMapper(gen, idx, cfg, mesh)
+    hits = dm.map_batch(batch)
+    for got, ref in zip(hits, ref_hits):
+        assert len(got) == len(ref)
+        for g, r in zip(got, ref):
+            assert (g.strand, g.pos, g.score, g.cigar) == \
+                (r.strand, r.pos, r.score, r.cigar)
+            assert abs(g.weight - r.weight) < 1e-12
+
+
 def test_allreduce_coverage():
     mesh = mesh_mod.make_mesh(4, 2)
     rng = np.random.default_rng(0)
