@@ -51,7 +51,8 @@ class DistMapper:
     """
 
     def __init__(self, genome: Genome, index, cfg: MapperConfig,
-                 mesh: jax.sharding.Mesh, align_impl: str = "jnp"):
+                 mesh: jax.sharding.Mesh, align_impl: str = "jnp",
+                 finish_impl: str = "host"):
         from gnumap_tpu.index.builder import BsIndexPair
         self.bisulfite = isinstance(index, BsIndexPair)
         if cfg.bisulfite != self.bisulfite:
@@ -99,6 +100,10 @@ class DistMapper:
             self.g_arr = jax.device_put(genome.codes, repl)
         self._interpret = jax.default_backend() == "cpu"
 
+        self.finish_impl = finish_impl
+        if finish_impl == "device" and align_impl != "pallas":
+            raise ValueError("finish_impl='device' requires align_impl="
+                             "'pallas'")
         idx_specs = (P(INDEX_AXIS), P(INDEX_AXIS)) * len(tables)
         in_specs = (P(READS_AXIS), P(READS_AXIS), P(READS_AXIS),
                     *idx_specs, P(), P(), P())
@@ -107,6 +112,15 @@ class DistMapper:
         fn = jax.shard_map(self._shard_fn, mesh=mesh, in_specs=in_specs,
                            out_specs=out_specs, check_vma=False)
         self._step = jax.jit(fn)
+        # device-finish variant: the whole single-chip device tail
+        # (retention + compaction + traceback kernel + flat blob) runs
+        # inside each reads-shard; every host then decodes only its own
+        # shard's blob — no DP on any host (multi-host parity with
+        # TpuMapper's finish_impl='device')
+        fn_tb = jax.shard_map(self._shard_fn_tb, mesh=mesh,
+                              in_specs=in_specs,
+                              out_specs=P(READS_AXIS), check_vma=False)
+        self._step_tb = jax.jit(fn_tb)
 
     # ------------------------------------------------------------------
     def _dp_scores(self, emis2, cands, lens2):
@@ -157,6 +171,18 @@ class DistMapper:
                         self.offsets, cfg)
 
     def _shard_fn(self, codes, pwm_q, lens, *rest):
+        cands, valid, scores, max_sc, _, _ = self._shard_core(
+            codes, pwm_q, lens, *rest)
+        return cands, valid, scores, max_sc
+
+    def _shard_fn_tb(self, codes, pwm_q, lens, *rest):
+        from gnumap_tpu.pipeline.mapper import device_tb_tail
+        cands, valid, scores, max_sc, emis2, lens2 = self._shard_core(
+            codes, pwm_q, lens, *rest)
+        return device_tb_tail(self.cfg, cands, valid, scores, max_sc,
+                              emis2, lens2, self.g_arr_in, self._interpret)
+
+    def _shard_core(self, codes, pwm_q, lens, *rest):
         cfg = self.cfg
         S = self.S
         n_idx = 4 if self.bisulfite else 2
@@ -197,7 +223,7 @@ class DistMapper:
             scores = self._dp_scores(emis2, cands, lens2)
         valid = cands != SENTINEL
         scores = jnp.where(valid, scores, NEG_INF)
-        return cands, valid, scores, max_sc
+        return cands, valid, scores, max_sc, emis2, lens2
 
     # ------------------------------------------------------------------
     def map_batch_arrays(self, codes, pwm_q, lens) -> Tuple:
@@ -219,6 +245,49 @@ class DistMapper:
                 base + Bloc, base + 2 * Bloc)
         return perm
 
+    def _map_batch_devtb(self, batch, stats=None):
+        """Device-finish path: each reads-shard emits the compact blob
+        (retention + traceback already done on device); the host decodes
+        shard-by-shard.  Returns None on any shard's capacity overflow."""
+        import time as _time
+        from gnumap_tpu.pipeline.mapper import decode_tb_blob, tb_blob_len
+        cfg = self.cfg
+        B = batch.codes.shape[0]
+        R = self.mesh.shape[READS_AXIS]
+        Bloc = B // R
+        blen = tb_blob_len(cfg, Bloc)
+        t0 = _time.perf_counter()
+        blob_all = np.asarray(self._step_tb(
+            batch.codes, batch.pwm_q, batch.lens, *self._idx_dev,
+            self.S_plus, self.S_minus, self.g_arr))
+        t1 = _time.perf_counter()
+        assert blob_all.shape[0] == R * blen
+        out = [[] for _ in range(batch.n)]
+        n_valid_tot = 0
+        for r in range(R):
+            lo = r * Bloc
+            n_loc = max(0, min(batch.n - lo, Bloc))
+            dec = decode_tb_blob(cfg, Bloc, n_loc,
+                                 batch.lens[lo:lo + Bloc],
+                                 blob_all[r * blen:(r + 1) * blen])
+            if dec is None:
+                return None
+            part, _, n_valid = dec
+            n_valid_tot += n_valid
+            for b, hits in enumerate(part):
+                out[lo + b] = hits
+        t2 = _time.perf_counter()
+        if stats is not None:
+            stats.n_reads += batch.n
+            stats.n_mapped += sum(1 for hh in out if hh)
+            stats.n_multi += sum(1 for hh in out if len(hh) > 1)
+            stats.n_candidates += n_valid_tot
+            stats.dp_cells += (n_valid_tot * cfg.max_read_len
+                               * cfg.window_width())
+            stats.device_s += t1 - t0
+            stats.host_s += t2 - t1
+        return out
+
     def map_batch(self, batch, stats=None):
         """ReadBatch -> per-read hits, identical semantics to
         TpuMapper.map_batch (tested)."""
@@ -230,6 +299,11 @@ class DistMapper:
         if B % R:
             raise ValueError(f"batch_size {B} must divide by read "
                              f"shards {R}")
+        if self.finish_impl == "device":
+            out = self._map_batch_devtb(batch, stats)
+            if out is not None:
+                return out
+            # capacity overflow in some shard: exact full-fetch fallback
         t0 = _time.perf_counter()
         outs = jax.device_get(self.map_batch_arrays(
             batch.codes, batch.pwm_q, batch.lens))

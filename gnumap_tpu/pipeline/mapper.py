@@ -207,6 +207,130 @@ def device_threshold(max_sc, ratio_q: int):
     return thr.astype(jnp.int32)
 
 
+
+def device_tb_tail(cfg: MapperConfig, cands, valid, scores, max_sc,
+                   emis2, lens2, g_words, interpret: bool):
+    """Retention threshold + winner compaction + traceback + indel-compacted
+    blob — the device tail shared by TpuMapper._device_map_tb and the
+    sharded DistMapper step (per shard).  Returns ONE flat int32 blob:
+
+      blob[:7*H]   per-hit meta [flat_idx, cand, score, j_final, n_keep,
+                   n_valid, indel_slot] x H=B2 rows (-1 flat_idx = empty)
+      blob[7*H:-1] compacted ops of the K=H/8 indel-bearing hits
+      blob[-1]     n_indel (overflow detection)
+    """
+    B2, C = cands.shape
+    H = B2
+    with jax.named_scope("retain_compact"):
+        thr = device_threshold(max_sc, cfg.ratio_q())
+        keep = valid & (scores >= thr[:, None]) & (scores > 0)
+        flat_keep = keep.reshape(-1)
+        k = jnp.cumsum(flat_keep.astype(jnp.int32)) - 1
+        n_keep = k[-1] + 1
+        slot = jnp.where(flat_keep, k, H)
+        flat_idx = jnp.arange(B2 * C, dtype=jnp.int32)
+        hit_flat = jnp.full((H,), -1, jnp.int32).at[slot].set(
+            flat_idx, mode="drop")
+        valid_h = hit_flat >= 0
+        safe = jnp.where(valid_h, hit_flat, 0)
+        row_h = safe // C
+        cand_h = jnp.where(valid_h, cands.reshape(-1)[safe], SENTINEL)
+        score_h = jnp.where(valid_h, scores.reshape(-1)[safe], 0)
+        len_h = jnp.where(valid_h, lens2[row_h], 0)
+        emis_h = jnp.transpose(emis2, (0, 2, 1))[row_h]
+    with jax.named_scope("nw_traceback"):
+        ops, jfin = nw_pallas.nw_traceback_pallas(
+            emis_h, cand_h, len_h, g_words,
+            L=cfg.max_read_len, W=cfg.window_width(),
+            slack=cfg.gap_slack, open_q=cfg.gap_open_q(),
+            ext_q=cfg.gap_extend_q(), interpret=interpret,
+            sublanes=cfg.pallas_tb_sublanes)
+    with jax.named_scope("indel_compact"):
+        Lp = ops.shape[1]
+        K = max(1, H // 8)
+        in_read = (jnp.arange(Lp, dtype=jnp.int32)[None, :]
+                   < len_h[:, None])
+        has_indel = jnp.any((ops != 0) & in_read, axis=1) & valid_h
+        ki = jnp.cumsum(has_indel.astype(jnp.int32)) - 1
+        n_indel = ki[-1] + 1
+        islot = jnp.where(has_indel, ki, -1)       # per-hit ops slot
+        src = jnp.full((K,), 0, jnp.int32).at[
+            jnp.where(has_indel, ki, K)].set(
+            jnp.arange(H, dtype=jnp.int32), mode="drop")
+        ops_c = ops[src]                            # (K, Lp) int16
+    nk = jnp.full((H,), n_keep, jnp.int32)
+    nv = jnp.full((H,), jnp.sum(valid.astype(jnp.int32)), jnp.int32)
+    meta = jnp.stack([hit_flat, cand_h, score_h, jfin, nk, nv, islot],
+                     axis=1)
+    ops32 = jax.lax.bitcast_convert_type(
+        ops_c.astype(jnp.uint16).reshape(K, Lp // 2, 2), jnp.int32)
+    # one FLAT fetch (the tunnel charges per-array latency)
+    return jnp.concatenate(
+        [meta.reshape(-1), ops32.reshape(-1), n_indel.reshape(1)], axis=0)
+
+
+def tb_blob_len(cfg: MapperConfig, B: int) -> int:
+    """Host-side length of the device_tb_tail blob for a B-read batch."""
+    H = 2 * B
+    K = max(1, H // 8)
+    Lp = ((cfg.max_read_len + 7) // 8) * 8
+    return 7 * H + K * (Lp // 2) + 1
+
+
+def decode_tb_blob(cfg: MapperConfig, B: int, n: int, lens_np, blob,
+                   b_offset: int = 0):
+    """Decode one device_tb_tail blob into per-read hits.
+
+    B = device batch rows, n = real reads, lens_np = int32[B] read lengths;
+    hits for read b land at out[b] (callers with read-sharded blobs pass
+    b_offset to report global stats only).  Returns (out, n_keep, n_valid)
+    or None on capacity overflow (caller falls back to the full-fetch host
+    path)."""
+    C = cfg.max_candidates
+    H = 2 * B
+    K = max(1, H // 8)
+    meta_all = blob[:7 * H].reshape(H, 7)
+    n_keep = int(meta_all[0, 4])
+    n_valid = int(meta_all[0, 5])
+    n_indel = int(blob[-1])
+    if n_keep > H or n_indel > K:
+        return None
+    meta = meta_all[:n_keep]
+    ops_c = np.ascontiguousarray(
+        blob[7 * H:-1].reshape(K, -1)).view(np.uint16)
+    rows = meta[:, 0] // C
+    b_idx = rows % B
+    minus = rows >= B
+    pos = cfg.window_start(meta[:, 1]) + meta[:, 3]
+    lens_h = lens_np[b_idx]
+    islot = meta[:, 6]
+    out: List[List[ReadHit]] = [[] for _ in range(n)]
+    per_read: Dict[int, Dict[Tuple[str, int], ReadHit]] = {}
+    for h in range(n_keep):
+        b = int(b_idx[h])
+        if b >= n:
+            continue
+        L = int(lens_h[h])
+        if islot[h] >= 0:
+            cigar, rl = nw_pallas.decode_ops(ops_c[islot[h]], L)
+        else:
+            cigar, rl = f"{L}M", L
+        st = "-" if minus[h] else "+"
+        key = (st, int(pos[h]))
+        d = per_read.setdefault(b, {})
+        sc = int(meta[h, 2])
+        if key not in d or sc > d[key].score:
+            d[key] = ReadHit(st, int(pos[h]), sc, 0.0, cigar, rl)
+    for b, d in per_read.items():
+        hits = list(d.values())
+        total = float(sum(hh.score for hh in hits))
+        for hh in hits:
+            hh.weight = hh.score / total
+        hits.sort(key=lambda hh: (hh.pos, 0 if hh.strand == "+" else 1))
+        out[b] = hits
+    return out, n_keep, n_valid
+
+
 class TpuMapper:
     """Holds the device-resident genome/index and the compiled map program."""
 
@@ -463,58 +587,8 @@ class TpuMapper:
         # _device_map_args (same jit program)
         _, emis2 = strand_expand(codes, pwm_q, lens, S_plus, S_minus)
         lens2 = jnp.concatenate([lens, lens], axis=0)
-        B2, C = cands.shape
-        H = B2
-        with jax.named_scope("retain_compact"):
-            thr = device_threshold(max_sc, cfg.ratio_q())
-            keep = valid & (scores >= thr[:, None]) & (scores > 0)
-            flat_keep = keep.reshape(-1)
-            k = jnp.cumsum(flat_keep.astype(jnp.int32)) - 1
-            n_keep = k[-1] + 1
-            slot = jnp.where(flat_keep, k, H)
-            flat_idx = jnp.arange(B2 * C, dtype=jnp.int32)
-            hit_flat = jnp.full((H,), -1, jnp.int32).at[slot].set(
-                flat_idx, mode="drop")
-            valid_h = hit_flat >= 0
-            safe = jnp.where(valid_h, hit_flat, 0)
-            row_h = safe // C
-            cand_h = jnp.where(valid_h, cands.reshape(-1)[safe], SENTINEL)
-            score_h = jnp.where(valid_h, scores.reshape(-1)[safe], 0)
-            len_h = jnp.where(valid_h, lens2[row_h], 0)
-            emis_h = jnp.transpose(emis2, (0, 2, 1))[row_h]
-        with jax.named_scope("nw_traceback"):
-            ops, jfin = nw_pallas.nw_traceback_pallas(
-                emis_h, cand_h, len_h, g_words,
-                L=cfg.max_read_len, W=cfg.window_width(),
-                slack=cfg.gap_slack, open_q=cfg.gap_open_q(),
-                ext_q=cfg.gap_extend_q(), interpret=self._interpret,
-                sublanes=cfg.pallas_tb_sublanes)
-        with jax.named_scope("indel_compact"):
-            Lp = ops.shape[1]
-            K = max(1, H // 8)
-            in_read = (jnp.arange(Lp, dtype=jnp.int32)[None, :]
-                       < len_h[:, None])
-            has_indel = jnp.any((ops != 0) & in_read, axis=1) & valid_h
-            ki = jnp.cumsum(has_indel.astype(jnp.int32)) - 1
-            n_indel = ki[-1] + 1
-            islot = jnp.where(has_indel, ki, -1)       # per-hit ops slot
-            src = jnp.full((K,), 0, jnp.int32).at[
-                jnp.where(has_indel, ki, K)].set(
-                jnp.arange(H, dtype=jnp.int32), mode="drop")
-            ops_c = ops[src]                            # (K, Lp) int16
-        nk = jnp.full((H,), n_keep, jnp.int32)
-        nv = jnp.full((H,), jnp.sum(valid.astype(jnp.int32)), jnp.int32)
-        meta = jnp.stack([hit_flat, cand_h, score_h, jfin, nk, nv, islot],
-                         axis=1)
-        ops32 = jax.lax.bitcast_convert_type(
-            ops_c.astype(jnp.uint16).reshape(K, Lp // 2, 2), jnp.int32)
-        # one FLAT fetch (the tunnel charges per-array latency); n_indel
-        # rides in meta slot arithmetic: islot >= n_indel never happens,
-        # and overflow is detected host-side via max(islot)+1 vs K... the
-        # true count is needed exactly, so append it as one extra word.
-        return jnp.concatenate(
-            [meta.reshape(-1), ops32.reshape(-1),
-             n_indel.reshape(1)], axis=0)
+        return device_tb_tail(cfg, cands, valid, scores, max_sc, emis2,
+                              lens2, g_words, self._interpret)
 
     # ------------------------------------------------------------------
     # Host finishing
@@ -565,54 +639,16 @@ class TpuMapper:
         t0 = time.perf_counter()
         blob = np.asarray(dev_out)
         t1 = time.perf_counter()
-        C = cfg.max_candidates
         B = batch.codes.shape[0]
-        H = 2 * B
-        K = max(1, H // 8)
-        meta_all = blob[:7 * H].reshape(H, 7)
-        n_keep = int(meta_all[0, 4])
-        n_valid = int(meta_all[0, 5])
-        n_indel = int(blob[-1])
-        if n_keep > H or n_indel > K:
+        decoded = decode_tb_blob(cfg, B, batch.n, batch.lens, blob)
+        if decoded is None:
             # capacity overflow (extreme repeat / indel batch): re-dispatch
             # on the full-fetch host path — exact, just slower
             return self.finish_host(
                 batch, self._map_packed(jnp.asarray(batch.codes),
                                         jnp.asarray(batch.pwm_q),
                                         jnp.asarray(batch.lens)), stats)
-        meta = meta_all[:n_keep]
-        ops_c = np.ascontiguousarray(
-            blob[7 * H:-1].reshape(K, -1)).view(np.uint16)
-        rows = meta[:, 0] // C
-        b_idx = rows % B
-        minus = rows >= B
-        pos = cfg.window_start(meta[:, 1]) + meta[:, 3]
-        lens_h = batch.lens[b_idx]
-        islot = meta[:, 6]
-        out: List[List[ReadHit]] = [[] for _ in range(batch.n)]
-        per_read: Dict[int, Dict[Tuple[str, int], ReadHit]] = {}
-        for h in range(n_keep):
-            b = int(b_idx[h])
-            if b >= batch.n:
-                continue
-            L = int(lens_h[h])
-            if islot[h] >= 0:
-                cigar, rl = nw_pallas.decode_ops(ops_c[islot[h]], L)
-            else:
-                cigar, rl = f"{L}M", L
-            st = "-" if minus[h] else "+"
-            key = (st, int(pos[h]))
-            d = per_read.setdefault(b, {})
-            sc = int(meta[h, 2])
-            if key not in d or sc > d[key].score:
-                d[key] = ReadHit(st, int(pos[h]), sc, 0.0, cigar, rl)
-        for b, d in per_read.items():
-            hits = list(d.values())
-            total = float(sum(hh.score for hh in hits))
-            for hh in hits:
-                hh.weight = hh.score / total
-            hits.sort(key=lambda hh: (hh.pos, 0 if hh.strand == "+" else 1))
-            out[b] = hits
+        out, n_keep, n_valid = decoded
         t2 = time.perf_counter()
         if stats is not None:
             stats.n_reads += batch.n

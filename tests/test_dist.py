@@ -56,6 +56,39 @@ def test_dist_matches_single_device(workload, R, S):
             assert abs(g.weight - r.weight) < 1e-12
 
 
+@pytest.mark.parametrize("R,S", [(8, 1), (4, 2)])
+def test_dist_device_finish_matches_single(R, S):
+    """Device-finish on the sharded path (per-shard retention + traceback
+    blob, decoded shard-by-shard) must equal the single-device mapper —
+    indel reads exercise the compacted-ops decode."""
+    cfg = MapperConfig(mer_size=8, seed_jump=4, batch_size=32,
+                       max_read_len=40, align_score_ratio=0.7,
+                       max_candidates=32)
+    genome = sim.random_genome(30_000, seed=5)
+    gen = builder.Genome.from_contigs([("dd", genome)])
+    idx = builder.build_index(gen, cfg)
+    reads = sim.simulate_reads(genome, 32, 36, seed=11, sub_rate=0.02,
+                               indel_rate=0.3, contig="dd")
+    batch = next(io_fastq.batch_reads(
+        iter(records_from_sim(reads, cfg)), cfg))
+    ref_hits = pl.TpuMapper(gen, idx, cfg, align_impl="pallas",
+                            finish_impl="device").map_batch(batch)
+    assert any("D" in h.cigar or "I" in h.cigar
+               for hl in ref_hits for h in hl)
+    mesh = mesh_mod.make_mesh(R, S)
+    dm = collectives.DistMapper(gen, idx, cfg, mesh, align_impl="pallas",
+                                finish_impl="device")
+    stats = pl.BatchStats()
+    hits = dm.map_batch(batch, stats)
+    assert stats.n_mapped == sum(1 for h in ref_hits if h)
+    for got, ref in zip(hits, ref_hits):
+        assert len(got) == len(ref)
+        for g, r in zip(got, ref):
+            assert (g.strand, g.pos, g.score, g.cigar, g.ref_len) == \
+                (r.strand, r.pos, r.score, r.cigar, r.ref_len)
+            assert abs(g.weight - r.weight) < 1e-12
+
+
 @pytest.mark.parametrize("R,S", [(4, 2), (2, 4)])
 def test_dist_bisulfite_matches_single_device(R, S):
     """Sharded bisulfite: both collapsed base-3 tables shard by k-mer
