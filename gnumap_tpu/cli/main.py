@@ -169,10 +169,10 @@ def main(argv=None) -> int:
         genome = builder.Genome.from_fasta(args.genome)
         if cfg.bisulfite:
             if args.index_type == "fm":
-                raise SystemExit("--index-type fm does not support "
-                                 "bisulfite mode yet (collapsed-alphabet "
-                                 "seeding needs the CSR pair)")
-            index = builder.build_bs_index(genome, cfg)
+                from gnumap_tpu.index import fm
+                index = fm.build_bs_fm_index(genome, cfg)
+            else:
+                index = builder.build_bs_index(genome, cfg)
         elif args.index_type == "fm":
             from gnumap_tpu.index import fm
             index = fm.build_fm_index(genome, cfg)

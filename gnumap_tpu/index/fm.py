@@ -109,9 +109,34 @@ class FmIndex:
         return np.sort(self.sa[lo:hi])
 
 
-def build_fm_index(genome: Genome, cfg: MapperConfig) -> FmIndex:
+@dataclasses.dataclass
+class FmBsPair:
+    """Per-strand collapsed FM indexes for bisulfite mode (the FM analog of
+    builder.BsIndexPair): ``plus`` over the C->T-collapsed genome, ``minus``
+    over G->A.  Reads collapse the same way before backward search, so a
+    conversion never breaks a seed; candidate sets equal the CSR pair's
+    (tests/test_fm.py).  Unlike the dense CSR tables, FM needs no 3^m
+    bucket array, so collapsed k-mers stay in plain base-4 codes."""
+    plus: "FmIndex"
+    minus: "FmIndex"
+
+    @property
+    def mer_size(self) -> int:
+        return self.plus.mer_size
+
+
+def build_bs_fm_index(genome: Genome, cfg: MapperConfig) -> FmBsPair:
+    return FmBsPair(build_fm_index(genome, cfg, collapse="ct"),
+                    build_fm_index(genome, cfg, collapse="ga"))
+
+
+def build_fm_index(genome: Genome, cfg: MapperConfig,
+                   collapse: "str | None" = None) -> FmIndex:
     from gnumap_tpu.align.nw_pallas import pack_4bit
+    from gnumap_tpu.index.builder import collapse_codes
     codes = genome.codes
+    if collapse is not None:
+        codes = collapse_codes(codes, collapse)
     if len(codes) + 1 > np.iinfo(np.int32).max:
         raise ValueError("genome too large for int32 FM index; use "
                          "shard-wise builds (config 5)")

@@ -33,7 +33,17 @@ def save_index(path: str, genome: Genome, index) -> None:
         mer_size=np.int64(index.mer_size))
     out = path if path.endswith(".npz") else path + ".npz"
     from gnumap_tpu.index.builder import BsIndexPair
-    if isinstance(index, BsIndexPair):
+    from gnumap_tpu.index.fm import FmBsPair
+    if isinstance(index, FmBsPair):
+        np.savez_compressed(out, kind="fm_bs",
+                            sa=index.plus.sa,
+                            bwt_words=index.plus.bwt_words,
+                            occ=index.plus.occ, c_table=index.plus.c_table,
+                            sa_minus=index.minus.sa,
+                            bwt_words_minus=index.minus.bwt_words,
+                            occ_minus=index.minus.occ,
+                            c_table_minus=index.minus.c_table, **common)
+    elif isinstance(index, BsIndexPair):
         np.savez_compressed(out, kind="csr_bs",
                             bucket_start=index.plus.bucket_start,
                             positions=index.plus.positions,
@@ -65,6 +75,13 @@ def load_index(path: str) -> Tuple[Genome, CsrIndex]:
         from gnumap_tpu.index.fm import FmIndex
         index = FmIndex(int(z["mer_size"]), z["sa"], z["bwt_words"],
                         z["occ"], z["c_table"])
+    elif kind == "fm_bs":
+        from gnumap_tpu.index.fm import FmBsPair, FmIndex
+        m = int(z["mer_size"])
+        index = FmBsPair(
+            FmIndex(m, z["sa"], z["bwt_words"], z["occ"], z["c_table"]),
+            FmIndex(m, z["sa_minus"], z["bwt_words_minus"],
+                    z["occ_minus"], z["c_table_minus"]))
     elif kind == "csr_bs":
         from gnumap_tpu.index.builder import BsIndexPair
         m = int(z["mer_size"])

@@ -352,30 +352,38 @@ class TpuMapper:
         # seed-lookup backend: CSR (dense hash-as-arrays), FM (BWT), or the
         # bisulfite per-strand collapsed CSR pair; identical candidate sets
         # per backend (index/fm.py docstring, builder.BsIndexPair)
-        from gnumap_tpu.index.fm import FmIndex
+        from gnumap_tpu.index.fm import FmIndex, FmBsPair
         from gnumap_tpu.index.builder import BsIndexPair
+
+        def _fm_args(fi):
+            return (jnp.asarray(fi.sa), jnp.asarray(fi.bwt_words),
+                    jnp.asarray(fi.occ), jnp.asarray(fi.c_table))
+
         if isinstance(index, BsIndexPair):
             self.index_kind = "csr_bs"
             self._idx_args = (jnp.asarray(index.plus.bucket_start),
                               jnp.asarray(index.plus.positions),
                               jnp.asarray(index.minus.bucket_start),
                               jnp.asarray(index.minus.positions))
+        elif isinstance(index, FmBsPair):
+            self.index_kind = "fm_bs"
+            self._idx_args = _fm_args(index.plus) + _fm_args(index.minus)
         elif isinstance(index, FmIndex):
             self.index_kind = "fm"
-            self._idx_args = (jnp.asarray(index.sa),
-                              jnp.asarray(index.bwt_words),
-                              jnp.asarray(index.occ),
-                              jnp.asarray(index.c_table))
+            self._idx_args = _fm_args(index)
         else:
             self.index_kind = "csr"
             self._idx_args = (jnp.asarray(index.bucket_start),
                               jnp.asarray(index.positions))
-        if cfg.bisulfite and self.index_kind != "csr_bs":
+        if cfg.bisulfite != self.index_kind.endswith("_bs"):
             raise ValueError(
                 "bisulfite mode seeds on the per-strand collapsed alphabet "
-                "[FROZEN]; build the index with builder.build_bs_index")
-        if self.index_kind == "csr_bs" and not cfg.bisulfite:
-            raise ValueError("BsIndexPair requires bisulfite=True")
+                "[FROZEN]: build the index with builder.build_bs_index or "
+                "fm.build_bs_fm_index (and only for bisulfite=True)")
+        if self.index_kind == "fm_bs" and cfg.mer_size > 15:
+            raise ValueError("FM bisulfite k-mer codes are base-4 int32: "
+                             "mer_size <= 15 (the CSR pair's base-3 table "
+                             "supports up to 18)")
         self.bucket_start, self.positions = (
             self._idx_args if self.index_kind == "csr" else (None, None))
         self.S_plus = jnp.asarray(S_plus)
@@ -454,6 +462,20 @@ class TpuMapper:
                          self.offsets, cfg),
                 csr_hits(kmm, badm, idx_args[2], idx_args[3],
                          self.offsets, cfg)], axis=0)
+        elif self.index_kind == "fm_bs":
+            # bisulfite on the FM backend: collapse the read halves, search
+            # each in its collapsed FM index (base-4 codes suffice — no
+            # dense bucket table to size)
+            from gnumap_tpu.index.fm import fm_hits
+            B = codes2.shape[0] // 2
+            cp = jnp.where(codes2[:B] == 1, jnp.int8(3), codes2[:B])
+            cm = jnp.where(codes2[B:] == 2, jnp.int8(0), codes2[B:])
+            kmp, badp = seed_kmers(cp, self.offsets, cfg.mer_size)
+            kmm, badm = seed_kmers(cm, self.offsets, cfg.mer_size)
+            cand = jnp.concatenate([
+                fm_hits(kmp, badp, *idx_args[:4], self.offsets, cfg),
+                fm_hits(kmm, badm, *idx_args[4:], self.offsets, cfg)],
+                axis=0)
         else:
             km, bad = seed_kmers(codes2, self.offsets, cfg.mer_size)
             if self.index_kind == "fm":

@@ -133,6 +133,42 @@ def test_fm_pipeline_matches_csr(align_impl):
                    [(h.strand, h.pos, h.score, h.cigar) for h in y]
 
 
+@pytest.mark.parametrize("align_impl", ["jnp", "pallas"])
+def test_fm_bisulfite_matches_csr_pair(align_impl):
+    """FM bisulfite pair (collapsed FM backward search) must map exactly
+    like the collapsed CSR pair."""
+    from gnumap_tpu.pipeline import mapper as pl
+    from gnumap_tpu.io import fastq as io_fastq
+    from gnumap_tpu.core import pwm as pwm_mod
+    cfg = MapperConfig(mer_size=8, seed_jump=3, batch_size=16,
+                       max_read_len=40, max_candidates=32,
+                       max_hits_per_seed=16, align_score_ratio=0.7,
+                       sam_out=False, sgr_out=False, bisulfite=True)
+    genome = sim.random_genome(6000, seed=19)
+    gen = builder.Genome.from_contigs([("g", genome)])
+    csr_pair = builder.build_bs_index(gen, cfg)
+    fm_pair = fm.build_bs_fm_index(gen, cfg)
+    reads = sim.simulate_reads(genome, 32, 36, seed=6, sub_rate=0.02,
+                               contig="g", bisulfite=True)
+    recs = []
+    for r in reads:
+        c = packing.encode(r.seq)
+        q = np.frombuffer(r.qual.encode(), np.uint8).astype(np.int32) - 33
+        recs.append(io_fastq.ReadRecord(r.name, c, None,
+                                        q.astype(np.int16)))
+    m_csr = pl.TpuMapper(gen, csr_pair, cfg, align_impl=align_impl)
+    m_fm = pl.TpuMapper(gen, fm_pair, cfg, align_impl=align_impl)
+    n_mapped = 0
+    for b in io_fastq.batch_reads(iter(recs), cfg):
+        ha = m_csr.map_batch(b)
+        hb = m_fm.map_batch(b)
+        n_mapped += sum(1 for h in ha if h)
+        for x, y in zip(ha, hb):
+            assert [(h.strand, h.pos, h.score, h.cigar) for h in x] == \
+                   [(h.strand, h.pos, h.score, h.cigar) for h in y]
+    assert n_mapped >= 28
+
+
 def test_fm_save_load_roundtrip(tmp_path):
     cfg, gen = _mk(seed=11, glen=1000)
     fmi = fm.build_fm_index(gen, cfg)
