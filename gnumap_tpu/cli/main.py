@@ -65,7 +65,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="bisulfite C->T asymmetric scoring (GNUMAP-bs)")
     p.add_argument("--snp", action="store_true",
                    help="per-base tallies + SNP p-values (GNUMAP-SNP)")
-    p.add_argument("-B", "--batch-size", type=int, default=2048)
+    p.add_argument("-B", "--batch-size", type=int, default=4096)
     p.add_argument("-L", "--max-read-len", type=int, default=128)
     p.add_argument("--no-sam", action="store_true")
     p.add_argument("--no-sgr", action="store_true")

@@ -746,20 +746,24 @@ def map_stream(mapper: TpuMapper, batches: Iterable[ReadBatch],
         elif collect_sam:
             sam_lines.append(line)
 
-    def results():
-        """Double-buffer: submit batch i+1 before finishing batch i."""
-        prev = None
+    def results(depth: int = 3):
+        """Keep ``depth`` batches in flight: device round-trips overlap
+        host finishing/parsing (the reference's SeqManager double-buffer,
+        deepened — same scheme as bench.py)."""
+        from collections import deque
+        if not hasattr(mapper, "submit"):
+            for batch in batches:
+                yield batch, mapper.map_batch(batch, stats)
+            return
+        q = deque()
         for batch in batches:
-            fut = mapper.submit(batch) if hasattr(mapper, "submit") else None
-            if prev is not None:
-                pb, pf = prev
-                yield pb, (mapper.finish(pb, pf, stats) if pf is not None
-                           else mapper.map_batch(pb, stats))
-            prev = (batch, fut)
-        if prev is not None:
-            pb, pf = prev
-            yield pb, (mapper.finish(pb, pf, stats) if pf is not None
-                       else mapper.map_batch(pb, stats))
+            q.append((batch, mapper.submit(batch)))
+            if len(q) > depth:
+                pb, pf = q.popleft()
+                yield pb, mapper.finish(pb, pf, stats)
+        while q:
+            pb, pf = q.popleft()
+            yield pb, mapper.finish(pb, pf, stats)
 
     batch_idx = start_batch
     for batch, hits_per_read in results():
