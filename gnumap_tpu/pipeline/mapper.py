@@ -767,12 +767,18 @@ def map_stream(mapper: TpuMapper, batches: Iterable[ReadBatch],
 
     batch_idx = start_batch
     for batch, hits_per_read in results():
+        # batch-level vectorized string prep (10M chr() calls per 100k
+        # reads otherwise — a real CLI bottleneck)
+        if cfg.sam_out:
+            qbytes = (batch.quals[:batch.n] + 33).astype(np.uint8)
         for b, hits in enumerate(hits_per_read):
             L = int(batch.lens[b])
             codes = batch.codes[b, :L]
-            quals = batch.quals[b, :L]
-            seq = packing.decode(codes)
-            qual = "".join(chr(int(q) + 33) for q in quals)
+            if cfg.sam_out:
+                seq = packing.decode(codes)
+                qual = qbytes[b, :L].tobytes().decode("ascii")
+            else:
+                seq = qual = ""
             if not hits:
                 if cfg.sam_out:
                     emit(sam_io.unmapped_record(batch.names[b], seq, qual))
