@@ -133,13 +133,18 @@ def read_stream(paths, cfg, adaptor=None):
 
 
 def batch_stream(paths, cfg, adaptor=None):
-    """Batches, using the native C++ FASTQ fast path where possible."""
+    """Batches, using the native C++ FASTQ fast path where possible;
+    adaptor trimming runs vectorized on the whole batch on that path."""
     fastqs = [p for p in paths
               if not p.endswith(("_prb.txt", ".prb", "_int.txt", ".int",
                                  ".fa", ".fasta"))]
-    if len(fastqs) == len(paths) and not adaptor:
+    if len(fastqs) == len(paths):
+        from gnumap_tpu.core import packing
+        ad = packing.encode(adaptor) if adaptor else None
         for path in paths:
-            yield from io_fastq.batch_reads_native(path, cfg)
+            for b in io_fastq.batch_reads_native(path, cfg):
+                yield (io_fastq.trim_adaptor_batch(b, ad)
+                       if ad is not None else b)
     else:
         yield from io_fastq.batch_reads(read_stream(paths, cfg, adaptor),
                                         cfg)
@@ -154,6 +159,10 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     from gnumap_tpu.utils import jaxcache
     jaxcache.enable()
+    import logging
+    logging.basicConfig(
+        level=logging.WARNING, stream=sys.stderr,
+        format="%(levelname)s %(name)s: %(message)s")
     args = build_arg_parser().parse_args(argv)
     if not args.save_index and (not args.reads or not args.output):
         raise SystemExit("reads and -o/--output are required unless "

@@ -12,9 +12,12 @@ this file is the always-available implementation).
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Iterator, List, Tuple
 
 import numpy as np
+
+logger = logging.getLogger("gnumap_tpu.io")
 
 from gnumap_tpu.config import MapperConfig
 from gnumap_tpu.core import packing, pwm as pwm_mod
@@ -75,6 +78,34 @@ def iter_fasta_reads(path: str, cfg: MapperConfig,
         yield ReadRecord(name, codes, None, q.astype(np.int16))
 
 
+def _trim_points(codes: np.ndarray, lens: np.ndarray, adaptor: np.ndarray,
+                 min_overlap: int, max_mismatch_frac: float) -> np.ndarray:
+    """Vectorized leftmost-adaptor-match per read.  FROZEN semantics: the
+    new length is the leftmost p in [0, len - min_overlap] where the read
+    suffix codes[p:p+n] (n = min(len - p, A)) matches adaptor[:n] with at
+    most int(max_mismatch_frac * n) mismatches, N (code 4) on either side
+    counting as a mismatch; len unchanged when no p qualifies.
+
+    codes: int8[B, L] (pad 4); lens: int32[B] -> int32[B] new lengths."""
+    B, L = codes.shape
+    A = len(adaptor)
+    if A == 0 or L == 0:
+        return lens.astype(np.int32, copy=True)
+    padded = np.concatenate([codes, np.full((B, A), 4, np.int8)], axis=1)
+    win = np.lib.stride_tricks.sliding_window_view(padded, A, axis=1)[:, :L]
+    mism = (win != adaptor) | (win == 4) | (adaptor == 4)[None, None, :]
+    csum = np.cumsum(mism, axis=2)                      # (B, L, A)
+    p = np.arange(L, dtype=np.int64)[None, :]
+    n = np.minimum(lens[:, None].astype(np.int64) - p, A)
+    nc = np.clip(n, 1, A)
+    counts = np.take_along_axis(csum, (nc - 1)[:, :, None], axis=2)[..., 0]
+    ok = ((p <= lens[:, None] - min_overlap)
+          & (counts <= (max_mismatch_frac * nc).astype(np.int64)))
+    any_ok = ok.any(axis=1)
+    first = np.argmax(ok, axis=1)
+    return np.where(any_ok, first, lens).astype(np.int32)
+
+
 def trim_adaptor(codes: np.ndarray, quals: np.ndarray,
                  adaptor: np.ndarray, min_overlap: int = 4,
                  max_mismatch_frac: float = 0.1):
@@ -82,15 +113,33 @@ def trim_adaptor(codes: np.ndarray, quals: np.ndarray,
     SURVEY.md §5 "Config"): truncate at the leftmost position where the
     read suffix matches a prefix of the adaptor with at most
     ``max_mismatch_frac`` mismatches (N never matches).  FROZEN."""
-    L, A = len(codes), len(adaptor)
-    for p in range(max(0, L - max(A, L)), L - min_overlap + 1):
-        n = min(L - p, A)
-        seg = codes[p:p + n]
-        ad = adaptor[:n]
-        mism = np.sum((seg != ad) | (seg == 4) | (ad == 4))
-        if mism <= int(max_mismatch_frac * n):
-            return codes[:p], quals[:p]
+    L = len(codes)
+    new_len = int(_trim_points(codes[None, :], np.array([L], np.int32),
+                               adaptor, min_overlap, max_mismatch_frac)[0])
+    if new_len != L:
+        return codes[:new_len], quals[:new_len]
     return codes, quals
+
+
+def trim_adaptor_batch(batch: "ReadBatch", adaptor: np.ndarray,
+                       min_overlap: int = 4,
+                       max_mismatch_frac: float = 0.1) -> "ReadBatch":
+    """Adaptor-trim a whole fixed-shape batch in place of the per-record
+    path (used by the native FASTQ fast path, which produces batches
+    directly).  Identical to per-record trim_adaptor for reads that fit
+    max_read_len; reads longer than max_read_len are trimmed after
+    truncation here (the per-record path trims before)."""
+    new_lens = _trim_points(batch.codes, batch.lens, adaptor,
+                            min_overlap, max_mismatch_frac)
+    if np.array_equal(new_lens, batch.lens):
+        return batch
+    cut = np.arange(batch.codes.shape[1])[None, :] >= new_lens[:, None]
+    codes = np.where(cut, np.int8(4), batch.codes).astype(np.int8)
+    quals = np.where(cut, np.int16(0), batch.quals).astype(np.int16)
+    pw = None
+    if batch.pwm_arr is not None:
+        pw = np.where(cut[:, :, None], 0, batch.pwm_arr).astype(np.int32)
+    return ReadBatch(batch.names, codes, pw, new_lens, quals, batch.n)
 
 
 def iter_prb(path: str, cfg: MapperConfig) -> Iterator[ReadRecord]:
@@ -193,13 +242,15 @@ def batch_reads(reads: Iterator[ReadRecord], cfg: MapperConfig
 
     Pad positions get all-zero PWM rows (emission contributes exactly 0, so
     scores are invariant to padding — frozen property, tested).  Reads longer
-    than max_read_len are truncated (reference reads are fixed-length;
-    truncation is logged by the caller).
+    than max_read_len are truncated; a warning is logged once per stream
+    with the first offender, and a count is logged at stream end.
     """
     B, L = cfg.batch_size, cfg.max_read_len
     buf: List[ReadRecord] = []
+    n_trunc = 0
 
     def flush() -> ReadBatch:
+        nonlocal n_trunc
         codes = np.full((B, L), 4, dtype=np.int8)
         lens = np.zeros(B, dtype=np.int32)
         quals = np.zeros((B, L), dtype=np.int16)
@@ -207,6 +258,13 @@ def batch_reads(reads: Iterator[ReadRecord], cfg: MapperConfig
         lazy = all(r.pwm_q is None for r in buf)
         pw = None if lazy else np.zeros((B, L, 4), dtype=np.int32)
         for i, r in enumerate(buf):
+            if len(r.codes) > L:
+                if n_trunc == 0:
+                    logger.warning(
+                        "read %s (%d bp) exceeds max_read_len=%d; "
+                        "truncating (raise -L to keep full reads)",
+                        r.name, len(r.codes), L)
+                n_trunc += 1
             n = min(len(r.codes), L)
             codes[i, :n] = r.codes[:n]
             if not lazy:
@@ -225,6 +283,9 @@ def batch_reads(reads: Iterator[ReadRecord], cfg: MapperConfig
             buf = []
     if buf:
         yield flush()
+    if n_trunc:
+        logger.warning("%d reads were truncated to max_read_len=%d",
+                       n_trunc, L)
 
 
 def batch_reads_native(path: str, cfg: MapperConfig):
@@ -246,6 +307,7 @@ def batch_reads_native(path: str, cfg: MapperConfig):
 
     tail = b""
     eof = False
+    n_trunc = 0
     with open(path, "rb") as f:
         while True:
             data = f.read(CHUNK)
@@ -253,9 +315,14 @@ def batch_reads_native(path: str, cfg: MapperConfig):
             chunk = tail + data
             if not chunk:
                 break
-            names, codes, quals, lens, consumed = \
+            names, codes, quals, lens, consumed, chunk_trunc = \
                 native_lib.parse_fastq_chunk(chunk, 4 * B, L,
                                              cfg.phred_offset, is_final=eof)
+            if chunk_trunc and n_trunc == 0:
+                logger.warning(
+                    "%s: reads exceed max_read_len=%d; truncating "
+                    "(raise -L to keep full reads)", path, L)
+            n_trunc += chunk_trunc
             if consumed == 0 and eof and not names:
                 break
             tail = chunk[consumed:]
@@ -287,3 +354,6 @@ def batch_reads_native(path: str, cfg: MapperConfig):
     if pend_names:
         yield ReadBatch(pend_names, pend[0], None, pend[2], pend[1],
                         len(pend_names))
+    if n_trunc:
+        logger.warning("%s: %d reads were truncated to max_read_len=%d",
+                       path, n_trunc, L)

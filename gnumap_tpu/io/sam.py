@@ -9,7 +9,10 @@ rounding.
 
 from __future__ import annotations
 
+import heapq
 import math
+import os
+import tempfile
 from typing import IO, Sequence
 
 from gnumap_tpu.config import SCORE_ONE
@@ -43,13 +46,32 @@ def unmapped_record(qname: str, seq: str, qual: str) -> str:
     return f"{qname}\t4\t*\t0\t0\t*\t*\t0\t0\t{seq}\t{qual}\n"
 
 
-def sort_sam_file(path: str, ref_names: Sequence[str]) -> None:
+def sort_sam_file(path: str, ref_names: Sequence[str],
+                  mem_records: int = 2_000_000) -> None:
     """Coordinate-sort a SAM file in place (samtools-sort order: reference
     sequence in @SQ header order, then 1-based POS ascending; unmapped
-    records last).  Streams whole-file in memory — fine for the scales this
-    single-file writer targets; the header's SO tag flips to coordinate."""
+    records last; ties keep input order).  External merge sort: records are
+    keyed with a fixed-width sortable prefix, spilled to temp-file runs of
+    ``mem_records`` lines, and heapq-merged — so files far larger than RAM
+    sort fine (reference wrote per-thread buffers merged to final files;
+    this is the single-file analog).  The header's SO tag flips to
+    coordinate."""
     order = {n: i for i, n in enumerate(ref_names)}
-    headers, recs = [], []
+    unmapped_rank = len(order)
+    dirn = os.path.dirname(os.path.abspath(path))
+    headers: list = []
+    runs: list = []
+    buf: list = []
+    seq_no = 0
+
+    def spill() -> None:
+        buf.sort()
+        tf = tempfile.TemporaryFile("w+", dir=dirn, suffix=".samrun")
+        tf.writelines(buf)
+        tf.seek(0)
+        runs.append(tf)
+        buf.clear()
+
     with open(path) as f:
         for line in f:
             if line.startswith("@"):
@@ -57,9 +79,24 @@ def sort_sam_file(path: str, ref_names: Sequence[str]) -> None:
                                if line.startswith("@HD") else line)
             else:
                 t = line.split("\t", 4)
-                key = (order.get(t[2], len(order)), int(t[3]))
-                recs.append((key, line))
-    recs.sort(key=lambda kv: kv[0])
-    with open(path, "w") as f:
-        f.writelines(headers)
-        f.writelines(line for _, line in recs)
+                # zero-padded fixed-width prefix: lexicographic == numeric;
+                # the sequence number makes the sort stable (input order
+                # breaks coordinate ties, matching the in-memory semantics)
+                buf.append(f"{order.get(t[2], unmapped_rank):010d}\t"
+                           f"{int(t[3]):012d}\t{seq_no:014d}\t{line}")
+                seq_no += 1
+                if len(buf) >= mem_records:
+                    spill()
+    with open(path, "w") as out:
+        out.writelines(headers)
+        if runs:
+            if buf:
+                spill()
+            for keyed in heapq.merge(*runs):
+                out.write(keyed.split("\t", 3)[3])
+            for tf in runs:
+                tf.close()
+        else:
+            buf.sort()
+            for keyed in buf:
+                out.write(keyed.split("\t", 3)[3])

@@ -35,14 +35,16 @@ extern "C" {
 //   lens[max_reads]            int32
 //   name_buf                   '\0'-joined names, name_off[max_reads]
 // Returns number of reads parsed; *consumed = bytes of chunk consumed
-// (callers carry the tail over to the next chunk).
+// (callers carry the tail over to the next chunk); *n_truncated = reads in
+// this chunk whose sequence exceeded max_len (truncated, caller logs).
 int32_t parse_fastq_chunk(const char* buf, int64_t n, int32_t max_reads,
                           int32_t max_len, int32_t phred_offset,
                           int32_t is_final,
                           int8_t* codes, int16_t* quals, int32_t* lens,
                           char* name_buf, int64_t name_cap,
-                          int64_t* name_off, int64_t* consumed) {
-    int64_t pos = 0, nb = 0;
+                          int64_t* name_off, int64_t* consumed,
+                          int64_t* n_truncated) {
+    int64_t pos = 0, nb = 0, trunc = 0;
     int32_t nr = 0;
     while (nr < max_reads) {
         int64_t rec_start = pos;
@@ -68,6 +70,7 @@ int32_t parse_fastq_chunk(const char* buf, int64_t n, int32_t max_reads,
 
         int64_t L = e2 - s2;
         if (e4 - s4 < L) break;                        // truncated quals
+        if (L > max_len) ++trunc;
         int32_t Lc = L > max_len ? max_len : (int32_t)L;
         int8_t* crow = codes + (int64_t)nr * max_len;
         int16_t* qrow = quals + (int64_t)nr * max_len;
@@ -93,6 +96,7 @@ int32_t parse_fastq_chunk(const char* buf, int64_t n, int32_t max_reads,
         (void)rec_start;
     }
     *consumed = pos;
+    *n_truncated = trunc;
     return nr;
 }
 

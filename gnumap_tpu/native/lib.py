@@ -32,6 +32,19 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    """True when any source is newer than the built .so (or it's absent)."""
+    try:
+        so_m = os.path.getmtime(_SO)
+    except OSError:
+        return True
+    for f in os.listdir(_DIR):
+        if f.endswith((".cpp", ".h")) or f == "Makefile":
+            if os.path.getmtime(os.path.join(_DIR, f)) > so_m:
+                return True
+    return False
+
+
 def get_lib():
     """The loaded shared library, or None (fallback to Python paths)."""
     global _lib, _tried
@@ -39,7 +52,7 @@ def get_lib():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) and not _build():
+        if _stale() and not _build():
             return None
         try:
             lib = ctypes.CDLL(_SO)
@@ -81,7 +94,7 @@ def get_lib():
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
-            ctypes.POINTER(ctypes.c_int64)]
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
         _lib = lib
         return _lib
 
@@ -120,7 +133,7 @@ def emission_int(pwm_q: np.ndarray, S_q: np.ndarray) -> np.ndarray:
 
 def parse_fastq_chunk(chunk: bytes, max_reads: int, max_len: int,
                       phred_offset: int, is_final: bool = True):
-    """-> (names, codes, quals, lens, consumed_bytes)"""
+    """-> (names, codes, quals, lens, consumed_bytes, n_truncated)"""
     lib = get_lib()
     codes = np.empty((max_reads, max_len), dtype=np.int8)
     quals = np.empty((max_reads, max_len), dtype=np.int16)
@@ -129,17 +142,20 @@ def parse_fastq_chunk(chunk: bytes, max_reads: int, max_len: int,
     name_buf = ctypes.create_string_buffer(name_cap)
     name_off = np.empty(max_reads, dtype=np.int64)
     consumed = ctypes.c_int64()
+    n_trunc = ctypes.c_int64()
     nr = lib.parse_fastq_chunk(
         chunk, len(chunk), max_reads, max_len, phred_offset,
         1 if is_final else 0,
         codes.ctypes.data, quals.ctypes.data, lens.ctypes.data,
-        name_buf, name_cap, name_off.ctypes.data, ctypes.byref(consumed))
+        name_buf, name_cap, name_off.ctypes.data, ctypes.byref(consumed),
+        ctypes.byref(n_trunc))
     names = []
     raw = name_buf.raw
     for i in range(nr):
         o = int(name_off[i])
         names.append(raw[o:raw.index(b"\0", o)].decode())
-    return names, codes[:nr], quals[:nr], lens[:nr], int(consumed.value)
+    return (names, codes[:nr], quals[:nr], lens[:nr], int(consumed.value),
+            int(n_trunc.value))
 
 
 CIGAR_STRIDE = 512

@@ -70,7 +70,7 @@ def test_parse_fastq_chunk_boundaries():
     while pos < len(blob) or tail:
         chunk = tail + blob[pos:pos + 97]
         pos += 97
-        names, codes, quals, lens, consumed = nl.parse_fastq_chunk(
+        names, codes, quals, lens, consumed, _ = nl.parse_fastq_chunk(
             chunk, 100, 32, 33, is_final=(pos >= len(blob)))
         names_all.extend(names)
         tail = chunk[consumed:]
