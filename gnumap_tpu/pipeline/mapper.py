@@ -771,6 +771,13 @@ def map_stream(mapper: TpuMapper, batches: Iterable[ReadBatch],
         # reads otherwise — a real CLI bottleneck)
         if cfg.sam_out:
             qbytes = (batch.quals[:batch.n] + 33).astype(np.uint8)
+        # coverage/tally scatter-add is batched: the per-read loop only
+        # collects (pos, ref_len, weight) rows; ONE ordered np.add.at per
+        # batch then applies them bit-identically to the old per-hit
+        # slice-add loop (VERDICT.md missing #4: the per-hit Python loop
+        # was the next host ceiling at 100M-read scale)
+        cov_rows: List[Tuple[int, int, float]] = []
+        tally_rows: List[Tuple[int, bool, int, float, Optional[str]]] = []
         for b, hits in enumerate(hits_per_read):
             L = int(batch.lens[b])
             codes = batch.codes[b, :L]
@@ -783,11 +790,12 @@ def map_stream(mapper: TpuMapper, batches: Iterable[ReadBatch],
                 if cfg.sam_out:
                     emit(sam_io.unmapped_record(batch.names[b], seq, qual))
                 continue
-            pwm_np = batch.pwm_q[b, :L]
             for hi, h in enumerate(hits):
-                coverage[h.pos:h.pos + h.ref_len] += h.weight
+                cov_rows.append((h.pos, h.ref_len, h.weight))
                 if tallies is not None:
-                    _accumulate_tallies(tallies, h, pwm_np)
+                    pure = h.cigar == f"{L}M"
+                    tally_rows.append((b, h.strand == "-", h.pos, h.weight,
+                                       None if pure else h.cigar))
                 if cfg.sam_out:
                     ci, off = gen.locate(h.pos)
                     flag = (16 if h.strand == "-" else 0) | (
@@ -801,6 +809,9 @@ def map_stream(mapper: TpuMapper, batches: Iterable[ReadBatch],
                         batch.names[b], flag, gen.names[int(ci)], int(off),
                         sam_io.mapq_from_weight(h.weight), h.cigar,
                         oseq, oqual, h.score, h.weight))
+        _scatter_coverage(coverage, cov_rows)
+        if tallies is not None and tally_rows:
+            _scatter_tallies(tallies, batch, tally_rows)
         batch_idx += 1
         if checkpoint_path and batch_idx % checkpoint_every == 0:
             off = 0
@@ -814,21 +825,91 @@ def map_stream(mapper: TpuMapper, batches: Iterable[ReadBatch],
     return MapResult(coverage, tallies, sam_lines, stats)
 
 
-def _accumulate_tallies(tallies: np.ndarray, h: ReadHit,
-                        pwm_np: np.ndarray) -> None:
+def _scatter_coverage(coverage: np.ndarray,
+                      rows: List[Tuple[int, int, float]]) -> None:
+    """One ordered np.add.at over all of a batch's hits.
+
+    np.ufunc.at applies duplicate indices sequentially in index order, so
+    building (position, weight) pairs in hit order makes this bit-identical
+    to the old per-hit ``coverage[pos:pos+ref_len] += w`` loop (pad slots
+    add exactly 0.0, which never changes a float64).  Replaces the per-hit
+    Python loop that VERDICT.md (missing #4) flagged as the 100M-read host
+    ceiling."""
+    if not rows:
+        return
+    G = coverage.shape[0]
+    pos = np.fromiter((r[0] for r in rows), np.int64, len(rows))
+    rl = np.fromiter((r[1] for r in rows), np.int64, len(rows))
+    w = np.fromiter((r[2] for r in rows), np.float64, len(rows))
+    ar = np.arange(int(rl.max()) if len(rl) else 0, dtype=np.int64)
+    idx = pos[:, None] + ar[None, :]
+    ok = (ar[None, :] < rl[:, None]) & (idx >= 0) & (idx < G)
+    np.add.at(coverage, np.where(ok, idx, 0).ravel(),
+              np.where(ok, w[:, None], 0.0).ravel())
+
+
+def _scatter_tallies(tallies: np.ndarray, batch: ReadBatch,
+                     rows: List[Tuple[int, bool, int, float, Optional[str]]]
+                     ) -> None:
+    """Batched SNP tally scatter-add (GNUMAP-SNP per-base fractional
+    A/C/G/T counts, SURVEY.md §2).  rows = (read, minus, pos, weight,
+    cigar-or-None) in hit order; None marks a pure-match hit.
+
+    Pure-match hits (the overwhelming majority) are laid out fully
+    vectorized; gapped hits fall back to per-run slices appended in the
+    same hit order, so the single ordered np.add.at reproduces the old
+    per-hit loop bit-for-bit (see _scatter_coverage)."""
     from gnumap_tpu.config import PWM_SCALE
-    p_s = pwm_np if h.strand == "+" else pwm_mod.pwm_revcomp(pwm_np)
-    gp, i = h.pos, 0
-    for num, op in oracle._iter_cigar(h.cigar):
-        if op == "M":
-            tallies[gp:gp + num] += h.weight * (
-                p_s[i:i + num].astype(np.float64) / PWM_SCALE)
-            gp += num
-            i += num
-        elif op == "D":
-            gp += num
-        elif op == "I":
-            i += num
+    G = tallies.shape[0]
+    pw = batch.pwm_q
+    Lmax = pw.shape[1]
+    ar = np.arange(Lmax, dtype=np.int64)
+    lens = batch.lens.astype(np.int64)
+    if all(r[4] is None for r in rows):
+        b_idx = np.fromiter((r[0] for r in rows), np.int64, len(rows))
+        minus = np.fromiter((r[1] for r in rows), bool, len(rows))
+        pos = np.fromiter((r[2] for r in rows), np.int64, len(rows))
+        w = np.fromiter((r[3] for r in rows), np.float64, len(rows))
+        ln = lens[b_idx]
+        sel = pw[b_idx].astype(np.float64)                   # (H, Lmax, 4)
+        # minus hits use the reverse-complemented PWM of rows [0, len)
+        src = np.clip(ln[:, None] - 1 - ar[None, :], 0, Lmax - 1)
+        rc = np.take_along_axis(sel, src[:, :, None], axis=1)[:, :, ::-1]
+        sel = np.where(minus[:, None, None], rc, sel)
+        idx = pos[:, None] + ar[None, :]
+        ok = (ar[None, :] < ln[:, None]) & (idx >= 0) & (idx < G)
+        vals = np.where(ok[:, :, None],
+                        w[:, None, None] * (sel / PWM_SCALE), 0.0)
+        np.add.at(tallies, np.where(ok, idx, 0).ravel(),
+                  vals.reshape(-1, 4))
+        return
+    # mixed batch (rare: gapped CIGARs present): per-hit chunks, still one
+    # ordered scatter
+    idx_chunks: List[np.ndarray] = []
+    val_chunks: List[np.ndarray] = []
+    for b, minus, pos, w, cigar in rows:
+        L = int(lens[b])
+        p_np = pw[b, :L]
+        p_s = (pwm_mod.pwm_revcomp(p_np) if minus else p_np)
+        if cigar is None:
+            cigar = f"{L}M"
+        gp, i = pos, 0
+        for num, op in oracle._iter_cigar(cigar):
+            if op == "M":
+                gi = np.arange(gp, gp + num, dtype=np.int64)
+                ok = (gi >= 0) & (gi < G)
+                v = w * (p_s[i:i + num].astype(np.float64) / PWM_SCALE)
+                idx_chunks.append(np.where(ok, gi, 0))
+                val_chunks.append(np.where(ok[:, None], v, 0.0))
+                gp += num
+                i += num
+            elif op == "D":
+                gp += num
+            elif op == "I":
+                i += num
+    if idx_chunks:
+        np.add.at(tallies, np.concatenate(idx_chunks),
+                  np.concatenate(val_chunks))
 
 
 def _traceback(emis_np, window, cfg):
