@@ -45,6 +45,13 @@ CONFIGS = {
     4: dict(name="chr21-scale bisulfite",
             genome_len=46_709_983, n_reads=16_384, read_len=100, mer=16,
             jump=5, max_read_len=104, repeat_frac=0.0, bisulfite=True),
+    # SNP mode mirrors config 3 but runs the full map_stream (coverage +
+    # per-base fractional tally accumulation) — the VERDICT.md missing-#4
+    # host-ceiling workload.  Target: >= 0.5x config 3 throughput.
+    5: dict(name="chr21-scale SNP mode (map_stream incl. tallies)",
+            genome_len=46_709_983, n_reads=16_384, read_len=100, mer=13,
+            jump=5, max_read_len=104, repeat_frac=0.02, bisulfite=False,
+            snp=True),
 }
 
 
@@ -62,7 +69,8 @@ def build_workload(n_reads, genome_len, batch_size, config=2):
                        batch_size=batch_size,
                        max_read_len=c["max_read_len"], max_candidates=32,
                        max_hits_per_seed=8, sam_out=False, sgr_out=False,
-                       bisulfite=c["bisulfite"])
+                       bisulfite=c["bisulfite"],
+                       snp_mode=c.get("snp", False))
     genome = sim.random_genome(genome_len, seed=0,
                                repeat_frac=c["repeat_frac"])
     gen = builder.Genome.from_contigs([("ref_sim", genome)])
@@ -92,8 +100,19 @@ def run_pipeline(cfg, gen, idx, recs, align_impl, depth=3):
     batches = list(io_fastq.batch_reads(iter(recs), cfg))
     # warmup/compile on the first batch — must include a full host fetch:
     # the axon tunnel defers real execution + remote program load until the
-    # first device_get (block_until_ready alone does not wait)
+    # first device_get (block_until_ready alone does not wait).  Then keep
+    # re-timing single batches until two consecutive timings agree within
+    # 5% so the recorded number is steady state, not a cold tunnel/compile
+    # cache (round-1 driver run underreported by 32% — VERDICT.md weak #1).
     m.map_batch(batches[0])
+    prev = None
+    for _ in range(8):
+        t = time.perf_counter()
+        m.map_batch(batches[0])
+        cur = time.perf_counter() - t
+        if prev is not None and abs(cur - prev) <= 0.05 * max(prev, 1e-9):
+            break
+        prev = cur
     stats = pl.BatchStats()
     t0 = time.perf_counter()
     n_hits = 0
@@ -147,10 +166,171 @@ def cpu_baseline(n_reads, config=2):
         return json.load(f)
 
 
+def kernel_bitcheck():
+    """On-backend Pallas-vs-oracle bit-equality: scores AND traceback for
+    64 random reads (half with 1-2bp indels) against the frozen oracle.
+    Runs on whatever backend bench.py runs on — on the driver's TPU run
+    this records per-round on-chip kernel conformance (VERDICT.md weak #4).
+    Returns (ok: bool, n_checked: int, detail: str)."""
+    import jax
+    from gnumap_tpu.align import nw_pallas, scoring
+    from gnumap_tpu.config import MapperConfig, NEG_INF
+    from gnumap_tpu.core import pwm as pwm_mod, packing
+    from gnumap_tpu.oracle import oracle
+    from gnumap_tpu.utils import sim
+
+    interpret = jax.default_backend() == "cpu"
+    cfg = MapperConfig(max_read_len=48)
+    L, W = cfg.max_read_len, cfg.window_width()
+    rng = np.random.default_rng(20260819)
+    genome = sim.random_genome(6000, seed=5)
+    g = packing.encode(genome)
+    G = len(g)
+    S = scoring.normal_matrix(cfg)
+    B, C = 64, 8     # C must be a multiple of sublanes/rpt = 8
+    emis = np.zeros((B, L, 5), np.int32)
+    cands = np.full((B, C), 2**31 - 1, np.int32)
+    lens = np.full(B, L, np.int32)
+    for b in range(B):
+        pos = int(rng.integers(0, G - L - 4))
+        frag = g[pos:pos + L].copy()
+        if b % 2 == 0:      # 1-2bp indel mid-read
+            p = int(rng.integers(6, L - 8))
+            k = int(rng.integers(1, 3))
+            if b % 4 == 0:
+                frag = np.concatenate([frag[:p], frag[p + k:],
+                                       g[pos + L:pos + L + k]])
+            else:
+                ins = rng.integers(0, 4, size=k).astype(np.int8)
+                frag = np.concatenate([frag[:p], ins, frag[p:]])[:L]
+        err = rng.random(L) < 0.03
+        frag = np.where(err, (frag + 1) % 4, frag).astype(np.int8)
+        pq = pwm_mod.pwm_from_calls(frag, rng.integers(10, 41, L))
+        emis[b] = scoring.emission_int(pq, S)
+        cands[b, 0] = pos                       # true locus (retained)
+        cands[b, 1] = int(rng.integers(0, G - L))   # junk locus
+        cands[b, 2] = max(-4, pos - 17)         # off-by-a-bit locus
+    cands = np.sort(cands, axis=1)
+    gwords = nw_pallas.pad_genome_words(g, W)
+    emis_t = np.ascontiguousarray(emis.transpose(0, 2, 1))
+    got = np.asarray(nw_pallas.nw_scores_pallas(
+        emis_t, jnp_arr(cands), jnp_arr(lens), jnp_arr(gwords),
+        L=L, W=W, slack=cfg.gap_slack, open_q=cfg.gap_open_q(),
+        ext_q=cfg.gap_extend_q(), interpret=interpret))
+
+    def window_of(cand):
+        ws = int(cfg.window_start(int(cand)))
+        window = np.full(W, 4, np.int8)
+        lo, hi = max(ws, 0), min(ws + W, G)
+        if hi > lo:
+            window[lo - ws:hi - ws] = g[lo:hi]
+        return ws, window
+
+    n_checked = 0
+    for b in range(B):
+        for c in range(C):
+            if cands[b, c] == 2**31 - 1:
+                continue
+            _, window = window_of(cands[b, c])
+            expect = oracle.nw_align(emis[b], window, cfg)
+            n_checked += 1
+            if int(got[b, c]) != expect:
+                return False, n_checked, (
+                    f"score mismatch read {b} cand {c}: "
+                    f"{int(got[b, c])} != {expect}")
+    # traceback equality on the retained (score > 0) hits
+    keep = [(b, c) for b in range(B) for c in range(C)
+            if cands[b, c] != 2**31 - 1 and got[b, c] > 0]
+    tb_cands = np.array([cands[b, c] for b, c in keep], np.int32)
+    tb_emis = np.ascontiguousarray(
+        np.stack([emis[b] for b, _ in keep]).transpose(0, 2, 1))
+    tb_lens = np.full(len(keep), L, np.int32)
+    ops, jfin = nw_pallas.nw_traceback_pallas(
+        jnp_arr(tb_emis), jnp_arr(tb_cands), jnp_arr(tb_lens),
+        jnp_arr(gwords), L=L, W=W, slack=cfg.gap_slack,
+        open_q=cfg.gap_open_q(), ext_q=cfg.gap_extend_q(),
+        interpret=interpret)
+    ops, jfin = np.asarray(ops), np.asarray(jfin)
+    for h, (b, c) in enumerate(keep):
+        _, window = window_of(cands[b, c])
+        _, pos_w, cigar, ref_len = oracle.nw_align(
+            emis[b], window, cfg, traceback=True)
+        got_cigar, got_rl = nw_pallas.decode_ops(ops[h], L)
+        n_checked += 1
+        if (int(jfin[h]), got_cigar, got_rl) != (pos_w, cigar, ref_len):
+            return False, n_checked, (
+                f"traceback mismatch hit {h}: "
+                f"({int(jfin[h])},{got_cigar},{got_rl}) != "
+                f"({pos_w},{cigar},{ref_len})")
+    return True, n_checked, "ok"
+
+
+def jnp_arr(x):
+    import jax.numpy as jnp
+    return jnp.asarray(x)
+
+
+def run_stream_snp(cfg, gen, idx, recs, align_impl, depth=3):
+    """SNP-mode measurement: the FULL map_stream (posterior -> coverage +
+    per-base tally scatter-add), not just submit/finish — tally cost is the
+    thing being measured."""
+    from gnumap_tpu.io import fastq as io_fastq
+    from gnumap_tpu.pipeline import mapper as pl
+
+    m = pl.TpuMapper(gen, idx, cfg, align_impl=align_impl)
+    batches = list(io_fastq.batch_reads(iter(recs), cfg))
+    m.map_batch(batches[0])
+    prev = None
+    for _ in range(8):
+        t = time.perf_counter()
+        m.map_batch(batches[0])
+        cur = time.perf_counter() - t
+        if prev is not None and abs(cur - prev) <= 0.05 * max(prev, 1e-9):
+            break
+        prev = cur
+    t0 = time.perf_counter()
+    res = pl.map_stream(m, iter(batches), collect_sam=False)
+    dt = time.perf_counter() - t0
+    acc = res.stats.n_mapped / max(res.stats.n_reads, 1)  # mapped rate
+    assert res.tallies is not None and res.tallies.sum() > 0
+    return dt, res.stats, res.stats.n_candidates, acc
+
+
+def bench_config(cfgnum, args, impl, with_baseline):
+    """Run one ladder config; return its result dict."""
+    cfg, gen, idx, recs = build_workload(
+        args.reads, args.genome_len, args.batch_size, config=cfgnum)
+    runner = (run_stream_snp if CONFIGS[cfgnum].get("snp")
+              else run_pipeline)
+    dt, stats, n_hits, acc = runner(cfg, gen, idx, recs, impl,
+                                    depth=args.depth)
+    reads_per_s = stats.n_reads / dt
+    cells_per_s = stats.dp_cells / max(stats.device_s, 1e-9)
+    vs_baseline = None
+    if with_baseline:
+        base = cpu_baseline(args.reads or 512, config=cfgnum)
+        if base:
+            vs_baseline = reads_per_s / base["cpu_reads_per_s"]
+    return {
+        "config": cfgnum, "name": CONFIGS[cfgnum]["name"],
+        "value": round(reads_per_s, 1), "unit": "reads/s",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "reads": stats.n_reads, "mapped": stats.n_mapped,
+        "accuracy": round(acc, 4), "multi_mapped": stats.n_multi,
+        "dp_cells_per_s_device": round(cells_per_s / 1e9, 3),
+        "dp_unit": "Gcells/s",
+        "device_s": round(stats.device_s, 3),
+        "host_s": round(stats.host_s, 3),
+        "wall_s": round(dt, 3),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", type=int, default=2, choices=sorted(CONFIGS),
-                    help="BASELINE.json workload ladder entry")
+    ap.add_argument("--config", type=int, default=0,
+                    choices=[0] + sorted(CONFIGS),
+                    help="BASELINE.json workload ladder entry "
+                         "(0 = full ladder, headline = config 2)")
     ap.add_argument("--reads", type=int, default=0,
                     help="override the config's read count")
     ap.add_argument("--genome-len", type=int, default=0,
@@ -182,34 +362,45 @@ def main():
     jaxcache.enable()
     backend = jax.default_backend()
     impl = "pallas" if backend == "tpu" else "jnp"
-    cfg, gen, idx, recs = build_workload(args.reads, args.genome_len,
-                                         args.batch_size,
-                                         config=args.config)
-    dt, stats, n_hits, acc = run_pipeline(cfg, gen, idx, recs, impl,
-                                          depth=args.depth)
-    reads_per_s = stats.n_reads / dt
-    cells_per_s = stats.dp_cells / max(stats.device_s, 1e-9)
 
-    vs_baseline = None
-    if not args.no_baseline:
-        base = cpu_baseline(args.reads or 512, config=args.config)
-        if base:
-            vs_baseline = reads_per_s / base["cpu_reads_per_s"]
+    bit_ok, bit_n, bit_detail = (None, 0, "skipped (jnp impl)")
+    if impl == "pallas" or backend == "cpu":
+        bit_ok, bit_n, bit_detail = kernel_bitcheck()
+        sys.stderr.write(f"kernel_bitcheck: ok={bit_ok} "
+                         f"checked={bit_n} {bit_detail}\n")
+
+    headline_cfg = args.config or 2
+    ladder = []
+    run_list = sorted(CONFIGS) if args.config == 0 else [args.config]
+    for n in run_list:
+        entry = bench_config(n, args, impl,
+                             with_baseline=(not args.no_baseline
+                                            and n == headline_cfg))
+        ladder.append(entry)
+        if n != headline_cfg or len(run_list) > 1:
+            print(json.dumps(entry), flush=True)
+    head = [e for e in ladder if e["config"] == headline_cfg][0]
 
     print(json.dumps({
         "metric": f"reads aligned/sec/chip "
-                  f"({CONFIGS[args.config]['name']})",
-        "value": round(reads_per_s, 1),
+                  f"({CONFIGS[headline_cfg]['name']})",
+        "value": head["value"],
         "unit": "reads/s",
-        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "vs_baseline": head["vs_baseline"],
         "backend": backend, "align_impl": impl,
-        "reads": stats.n_reads, "mapped": stats.n_mapped,
-        "accuracy": round(acc, 4), "multi_mapped": stats.n_multi,
-        "dp_cells_per_s_device": round(cells_per_s / 1e9, 3),
+        "kernel_bitcheck": bit_ok,
+        "kernel_bitcheck_n": bit_n,
+        "reads": head["reads"], "mapped": head["mapped"],
+        "accuracy": head["accuracy"], "multi_mapped": head["multi_mapped"],
+        "dp_cells_per_s_device": head["dp_cells_per_s_device"],
         "dp_unit": "Gcells/s",
-        "device_s": round(stats.device_s, 3),
-        "host_s": round(stats.host_s, 3),
-        "wall_s": round(dt, 3),
+        "device_s": head["device_s"],
+        "host_s": head["host_s"],
+        "wall_s": head["wall_s"],
+        "ladder": [{k: e[k] for k in
+                    ("config", "name", "value", "accuracy", "mapped",
+                     "multi_mapped", "dp_cells_per_s_device", "wall_s")}
+                   for e in ladder],
         "baseline_provenance": "host-CPU jnp pipeline (C++ reference "
                                "unavailable: empty mount)",
     }))
