@@ -84,8 +84,21 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--index-shards", type=int, default=1,
                    help="shard the k-mer index over this many devices "
                         "(genome-partitioned mode)")
+    p.add_argument("--segments", default="auto",
+                   help="position-partition the genome into N contig-"
+                        "aligned segments, each with its own int32 index "
+                        "(genomes > 2^31 bases, BASELINE config 5); "
+                        "'auto' (default) segments only when required, "
+                        "an integer forces that many segments")
     p.add_argument("-v", "--verbose", action="store_true",
                    help="per-batch JSONL stats on stderr (ref -v)")
+    p.add_argument("--num-hosts", type=int, default=1,
+                   help="multi-host run: total jax.distributed processes "
+                        "(the reference's mpirun -np R)")
+    p.add_argument("--host-id", type=int, default=0,
+                   help="this process's rank in [0, num-hosts)")
+    p.add_argument("--coordinator", default="localhost:29500",
+                   help="jax.distributed coordinator address (rank 0)")
     return p
 
 
@@ -167,28 +180,50 @@ def main(argv=None) -> int:
     if not args.save_index and (not args.reads or not args.output):
         raise SystemExit("reads and -o/--output are required unless "
                          "--save-index is given")
+    multi = args.num_hosts > 1
+    if multi:
+        if args.checkpoint:
+            raise SystemExit("--checkpoint is per-process; not supported "
+                             "with --num-hosts yet")
+        from gnumap_tpu.dist import multihost
+        multihost.initialize(args.coordinator, args.num_hosts, args.host_id)
     cfg = config_from_args(args)
+    from gnumap_tpu.dist.segments import SEG_LIMIT
+    n_segments = 0 if args.segments == "auto" else int(args.segments)
     t0 = time.perf_counter()
+    index = None
     if args.genome.endswith(".npz"):
         genome, index = store.load_index(args.genome)
         if index.mer_size != cfg.mer_size:
             raise SystemExit(
                 f"index mer_size {index.mer_size} != -m {cfg.mer_size}")
+        if n_segments > 1:
+            raise SystemExit("--segments needs a FASTA genome (per-segment "
+                             "indexes are built contig-aligned)")
     else:
         genome = builder.Genome.from_fasta(args.genome)
-        if cfg.bisulfite:
-            if args.index_type == "fm":
+        segmented = (n_segments > 1
+                     or len(genome.codes) > SEG_LIMIT)
+        if segmented and args.index_type == "fm":
+            raise SystemExit("--segments requires --index-type csr")
+        if not segmented:
+            if cfg.bisulfite:
+                if args.index_type == "fm":
+                    from gnumap_tpu.index import fm
+                    index = fm.build_bs_fm_index(genome, cfg)
+                else:
+                    index = builder.build_bs_index(genome, cfg)
+            elif args.index_type == "fm":
                 from gnumap_tpu.index import fm
-                index = fm.build_bs_fm_index(genome, cfg)
+                index = fm.build_fm_index(genome, cfg)
             else:
-                index = builder.build_bs_index(genome, cfg)
-        elif args.index_type == "fm":
-            from gnumap_tpu.index import fm
-            index = fm.build_fm_index(genome, cfg)
-        else:
-            index = builder.build_index(genome, cfg)
+                index = builder.build_index(genome, cfg)
     t_index = time.perf_counter() - t0
     if args.save_index:
+        if index is None:
+            raise SystemExit("--save-index is per-genome; segmented "
+                             "genomes rebuild per-segment indexes at "
+                             "map time")
         store.save_index(args.save_index, genome, index)
         print(json.dumps({"event": "index_saved", "path": args.save_index,
                           "seconds": round(t_index, 3)}))
@@ -198,22 +233,41 @@ def main(argv=None) -> int:
     if impl == "auto":
         import jax
         impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    mesh = None
     if args.read_shards or args.index_shards > 1:
         from gnumap_tpu.index.fm import FmIndex
         if isinstance(index, FmIndex):
             raise SystemExit("--index-type fm is single-device; the "
                              "sharded path shards the CSR table "
                              "(use --index-type csr)")
-        from gnumap_tpu.dist import collectives, mesh as mesh_mod
+        from gnumap_tpu.dist import mesh as mesh_mod
         mesh = mesh_mod.make_mesh(args.read_shards or None,
                                   args.index_shards)
+    if index is None:
+        # segmented path (genome > int32 or --segments N): per-segment
+        # int32 indexes, global int64 coordinates, union posteriors
+        from gnumap_tpu.dist.segments import GlobalSegmentedMapper
+        t0 = time.perf_counter()
+        m = GlobalSegmentedMapper(genome, cfg, align_impl=impl,
+                                  n_segments=n_segments, mesh=mesh)
+        t_index += time.perf_counter() - t0
+    elif mesh is not None:
+        from gnumap_tpu.dist import collectives
         m = collectives.DistMapper(genome, index, cfg, mesh,
                                    align_impl=impl)
     else:
         m = pl.TpuMapper(genome, index, cfg, align_impl=impl)
     sam_path = args.output + ".sam"
-    sam_f = None
-    if cfg.sam_out:
+    sam_f = sam_bin = None
+    spans: list = []
+    if cfg.sam_out and multi:
+        # per-host headerless SAM shard + per-batch byte spans (merged by
+        # global batch index at host 0 — the reference's rank-0 gather)
+        import io as _io
+        body_path, _ = multihost.shard_paths(args.output, args.host_id)
+        sam_bin = open(body_path, "wb")
+        sam_f = _io.TextIOWrapper(sam_bin, encoding="ascii", newline="")
+    elif cfg.sam_out:
         resuming = bool(args.checkpoint and os.path.exists(args.checkpoint))
         sam_f = open(sam_path, "r+" if resuming and
                      os.path.exists(sam_path) else "w+")
@@ -221,9 +275,9 @@ def main(argv=None) -> int:
             sam_f.seek(0)
             sam_io.write_header(sam_f, genome.names, genome.lengths,
                                 cmd=" ".join(sys.argv))
-    cb = None
+    callbacks = []
     if args.verbose:
-        def cb(idx, s):
+        def _vcb(idx, s):
             print(json.dumps({
                 "event": "batch", "batch": idx, "reads": s.n_reads,
                 "mapped": s.n_mapped, "multi": s.n_multi,
@@ -232,30 +286,75 @@ def main(argv=None) -> int:
                 "dp_cells": s.dp_cells,
                 "device_s": round(s.device_s, 3),
                 "host_s": round(s.host_s, 3)}), file=sys.stderr)
+        callbacks.append(_vcb)
+    if multi and sam_bin is not None:
+        _prev = [0]
+        _k = [0]
+
+        def _span_cb(idx, s):
+            sam_f.flush()
+            end = sam_bin.tell()
+            g = _k[0] * args.num_hosts + args.host_id
+            spans.append((g, _prev[0], end))
+            _prev[0] = end
+            _k[0] += 1
+        callbacks.append(_span_cb)
+    cb = None
+    if callbacks:
+        def cb(idx, s):
+            for c in callbacks:
+                c(idx, s)
+    batches = batch_stream(args.reads, cfg, args.adaptor)
+    if multi:
+        batches = multihost.strided(batches, args.num_hosts, args.host_id)
     t1 = time.perf_counter()
     res = pl.map_stream(
-        m, batch_stream(args.reads, cfg, args.adaptor),
+        m, batches,
         collect_sam=False, sam_file=sam_f,
         checkpoint_path=args.checkpoint,
         checkpoint_every=args.checkpoint_every,
         batch_callback=cb)
     t_map = time.perf_counter() - t1
-    if sam_f:
+    if multi:
+        # cross-host merge: coverage/tallies by deterministic bit-exact
+        # all-gather + host-ordered sum (the MPI_Reduce analog); SAM by
+        # rank-0 interleave of per-batch shard chunks
+        res.coverage = multihost.allreduce_f64(res.coverage)
+        if res.tallies is not None:
+            res.tallies = multihost.allreduce_f64(res.tallies)
+        if sam_f:
+            sam_f.close()
+            _, idx_path = multihost.shard_paths(args.output, args.host_id)
+            multihost.write_shard_index(idx_path, spans)
+        multihost.barrier("gnumap_sam_shards")
+        if sam_f and args.host_id == 0:
+            import io as _io
+            hdr = _io.StringIO()
+            sam_io.write_header(hdr, genome.names, genome.lengths,
+                                cmd=" ".join(sys.argv))
+            multihost.merge_sam_shards(args.output, args.num_hosts,
+                                       hdr.getvalue())
+            if args.sort_sam:
+                sam_io.sort_sam_file(sam_path, genome.names)
+    elif sam_f:
         sam_f.close()
         if args.sort_sam:
             sam_io.sort_sam_file(sam_path, genome.names)
-    if cfg.sgr_out:
+    if cfg.sgr_out and args.host_id == 0:
         with open(args.output + ".sgr", "w") as f:
             sgr_io.write_sgr(f, genome, res.coverage, cfg.min_coverage_emit)
-    if cfg.sgrex_out and res.tallies is not None:
+    if cfg.sgrex_out and res.tallies is not None and args.host_id == 0:
         from gnumap_tpu.posterior import snp
         pvals = snp.snp_pvalues(genome.codes, res.coverage, res.tallies)
         with open(args.output + ".sgrex", "w") as f:
             sgr_io.write_sgrex(f, genome, res.coverage, res.tallies, pvals,
                                cfg.min_coverage_emit)
+    if multi:
+        multihost.barrier("gnumap_outputs")
     s = res.stats
     print(json.dumps({
         "event": "done", "reads": s.n_reads, "mapped": s.n_mapped,
+        "segments": getattr(m, "n_segments", 1),
         "multi_mapped": s.n_multi, "candidates": s.n_candidates,
         "dp_cells": s.dp_cells, "index_s": round(t_index, 3),
         "map_s": round(t_map, 3),

@@ -114,3 +114,136 @@ def split_contigs(contigs: Sequence[Tuple[str, str]],
         groups[-1].append((name, seq))
         size += len(seq)
     return groups
+
+
+# default per-segment size: int32-safe with headroom for the genome-word
+# padding (align/nw_pallas.pad_genome_words) and index offsets
+SEG_LIMIT = (1 << 31) - (1 << 24)
+
+
+def segment_bounds(genome: builder.Genome,
+                   max_bases: int = SEG_LIMIT,
+                   n_segments: int = 0) -> List[Tuple[int, int]]:
+    """Greedy CONTIG-ALIGNED partition of a global genome: returns
+    [(ci_lo, ci_hi), ...) contig-index ranges whose concatenated codes
+    (incl. trailing N spacers) each stay under ``max_bases``.  With
+    ``n_segments`` > 0, targets that many segments instead (still
+    contig-aligned, still capped at max_bases)."""
+    n = len(genome.names)
+    total = len(genome.codes)
+    if n_segments > 0:
+        max_bases = min(max_bases, max(-(-total // n_segments), 1))
+    ends = np.concatenate([genome.starts[1:], [total]]).astype(np.int64)
+    groups: List[Tuple[int, int]] = []
+    lo = 0
+    for ci in range(n):
+        seg_len = int(ends[ci] - genome.starts[lo])
+        if seg_len > max_bases and ci > lo:
+            groups.append((lo, ci))
+            lo = ci
+        if int(ends[ci] - genome.starts[lo]) > SEG_LIMIT:
+            raise ValueError(
+                f"contig {genome.names[ci]} alone exceeds the int32 "
+                f"segment limit")
+    groups.append((lo, n))
+    return groups
+
+
+class GlobalSegmentedMapper:
+    """Genome-of-any-size mapper (incl. > 2^31 bases — BASELINE.json
+    config 5): the global genome is split into contig-aligned segments,
+    each with its own int32 CSR index (the reference's genome-partitioned
+    MPI mode, SURVEY.md §3.5), and per-segment hits merge back into GLOBAL
+    int64 coordinates with union-renormalized posterior weights — the same
+    frozen semantics as one unsegmented genome, because the retention
+    threshold depends only on the read (tests/test_segments.py).
+
+    Presents the TpuMapper ``submit``/``finish``/``map_batch``/``genome``
+    surface, so ``pipeline.map_stream`` (SAM/SGR/SNP/checkpoints) and the
+    CLI drive it unchanged.  Segment codes are VIEWS of the global codes
+    array (no copies); each segment's mapper may itself be a sharded
+    DistMapper (``mesh=``), composing genome partitioning with the
+    reads x index device mesh.
+    """
+
+    def __init__(self, genome: builder.Genome, cfg: MapperConfig,
+                 align_impl: str = "jnp", max_bases: int = SEG_LIMIT,
+                 n_segments: int = 0, mesh=None, finish_impl=None):
+        self.genome = genome
+        self.cfg = cfg
+        self.bounds = segment_bounds(genome, max_bases, n_segments)
+        total = len(genome.codes)
+        ends = np.concatenate([genome.starts[1:], [total]]).astype(np.int64)
+        self.mappers = []
+        self.bases: List[int] = []
+        for ci_lo, ci_hi in self.bounds:
+            lo = int(genome.starts[ci_lo])
+            hi = int(ends[ci_hi - 1])
+            sub = builder.Genome(
+                codes=genome.codes[lo:hi],
+                names=list(genome.names[ci_lo:ci_hi]),
+                starts=genome.starts[ci_lo:ci_hi] - lo,
+                lengths=genome.lengths[ci_lo:ci_hi])
+            index = (builder.build_bs_index(sub, cfg) if cfg.bisulfite
+                     else builder.build_index(sub, cfg))
+            if mesh is not None:
+                from gnumap_tpu.dist.collectives import DistMapper
+                m = DistMapper(sub, index, cfg, mesh, align_impl=align_impl,
+                               finish_impl=finish_impl or "host")
+            else:
+                m = pl.TpuMapper(sub, index, cfg, align_impl=align_impl,
+                                 finish_impl=finish_impl)
+            self.mappers.append(m)
+            self.bases.append(lo)
+
+    @property
+    def n_segments(self) -> int:
+        return len(self.mappers)
+
+    # -- TpuMapper-compatible surface (map_stream pipelines through it) --
+    def submit(self, batch: ReadBatch):
+        if not hasattr(self.mappers[0], "submit"):
+            return None                       # DistMapper: sync map_batch
+        return [m.submit(batch) for m in self.mappers]
+
+    def finish(self, batch: ReadBatch, futs,
+               stats: "pl.BatchStats | None" = None):
+        seg_stats = pl.BatchStats()
+        if futs is None:
+            per = [m.map_batch(batch, seg_stats) for m in self.mappers]
+        else:
+            per = [m.finish(batch, f, seg_stats)
+                   for m, f in zip(self.mappers, futs)]
+        out = self._merge_global(per)
+        if stats is not None:
+            stats.n_reads += batch.n
+            stats.n_mapped += sum(1 for hh in out if hh)
+            stats.n_multi += sum(1 for hh in out if len(hh) > 1)
+            stats.n_candidates += seg_stats.n_candidates
+            stats.dp_cells += seg_stats.dp_cells
+            stats.device_s += seg_stats.device_s
+            stats.host_s += seg_stats.host_s
+        return out
+
+    def map_batch(self, batch: ReadBatch,
+                  stats: "pl.BatchStats | None" = None):
+        return self.finish(batch, self.submit(batch), stats)
+
+    def _merge_global(self, per_segment) -> List[List[pl.ReadHit]]:
+        """Union per-read hits across segments in GLOBAL coordinates and
+        renormalize weights over the union (frozen posterior semantics:
+        w_i = s_i / sum over ALL retained loci)."""
+        n = len(per_segment[0])
+        out: List[List[pl.ReadHit]] = []
+        for b in range(n):
+            hits: List[pl.ReadHit] = []
+            for base, seg_hits in zip(self.bases, per_segment):
+                for h in seg_hits[b]:
+                    hits.append(pl.ReadHit(h.strand, base + h.pos, h.score,
+                                           0.0, h.cigar, h.ref_len))
+            total = float(sum(h.score for h in hits))
+            for h in hits:
+                h.weight = h.score / total if total else 0.0
+            hits.sort(key=lambda h: (h.pos, 0 if h.strand == "+" else 1))
+            out.append(hits)
+        return out

@@ -1,0 +1,75 @@
+"""Multi-host CI without a cluster: two REAL ``jax.distributed`` CPU
+processes on localhost (Gloo), asserting the merged outputs are
+byte-identical to the single-process run (SURVEY.md §3.5 MPI analog;
+VERDICT.md next-#4)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from gnumap_tpu.utils import sim
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _run_cli(argv, extra_env=None):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # one local CPU device per process keeps the Gloo mesh simple
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env.update(extra_env or {})
+    return subprocess.Popen(
+        [sys.executable, "-m", "gnumap_tpu.cli.main"] + argv,
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+
+
+def test_two_process_matches_single(tmp_path):
+    g = sim.random_genome(9000, seed=71, repeat_frac=0.03)
+    sim.write_fasta(str(tmp_path / "g.fa"), [("chrM", g)])
+    reads = sim.simulate_reads(g, 96, 40, seed=72, contig="chrM",
+                               indel_rate=0.05)
+    sim.write_fastq(str(tmp_path / "r.fq"), reads)
+
+    common = ["-g", str(tmp_path / "g.fa"), str(tmp_path / "r.fq"),
+              "-m", "9", "-j", "4", "-L", "44", "-B", "16", "--snp"]
+
+    # single-process reference
+    p = _run_cli(["-o", str(tmp_path / "single")] + common)
+    out, err = p.communicate(timeout=420)
+    assert p.returncode == 0, err[-2000:]
+
+    # two jax.distributed processes; 96 reads / B16 = 6 global batches,
+    # 3 per host
+    coord = f"localhost:{_free_port()}"
+    procs = [
+        _run_cli(["-o", str(tmp_path / "multi"), "--num-hosts", "2",
+                  "--host-id", str(h), "--coordinator", coord] + common)
+        for h in range(2)
+    ]
+    outs = [p.communicate(timeout=420) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err[-2000:]
+
+    def body(p):
+        return [l for l in open(p) if not l.startswith("@PG")]
+
+    assert body(tmp_path / "single.sam") == body(tmp_path / "multi.sam")
+    assert (tmp_path / "single.sgr").read_text() == \
+           (tmp_path / "multi.sgr").read_text()
+    assert (tmp_path / "single.sgrex").read_text() == \
+           (tmp_path / "multi.sgrex").read_text()
+    # shard temporaries are cleaned up by the merge
+    assert not list(tmp_path.glob("multi.sam.host*"))
