@@ -871,15 +871,23 @@ def _scatter_tallies(tallies: np.ndarray, batch: ReadBatch,
         pos = np.fromiter((r[2] for r in rows), np.int64, len(rows))
         w = np.fromiter((r[3] for r in rows), np.float64, len(rows))
         ln = lens[b_idx]
-        sel = pw[b_idx].astype(np.float64)                   # (H, Lmax, 4)
-        # minus hits use the reverse-complemented PWM of rows [0, len)
-        src = np.clip(ln[:, None] - 1 - ar[None, :], 0, Lmax - 1)
-        rc = np.take_along_axis(sel, src[:, :, None], axis=1)[:, :, ::-1]
-        sel = np.where(minus[:, None, None], rc, sel)
+        sel = pw[b_idx]                                      # (H, Lmax, 4)
+        # minus hits use the reverse-complemented PWM of rows [0, len);
+        # computed on the int32 view for only the minus subset (the
+        # float64 intermediates dominated this path's cost)
+        mrows = np.nonzero(minus)[0]
+        if len(mrows):
+            src = np.clip(ln[mrows, None] - 1 - ar[None, :], 0, Lmax - 1)
+            sel[mrows] = np.take_along_axis(
+                sel[mrows], src[:, :, None], axis=1)[:, :, ::-1]
+        # value = w * (p / PWM_SCALE), masked positions contribute exactly
+        # +0.0 — same floats as the per-hit loop, fewer full-array passes
+        vals = sel.astype(np.float64)
+        np.divide(vals, PWM_SCALE, out=vals)
+        np.multiply(vals, w[:, None, None], out=vals)
         idx = pos[:, None] + ar[None, :]
         ok = (ar[None, :] < ln[:, None]) & (idx >= 0) & (idx < G)
-        vals = np.where(ok[:, :, None],
-                        w[:, None, None] * (sel / PWM_SCALE), 0.0)
+        np.multiply(vals, ok[:, :, None], out=vals)
         np.add.at(tallies, np.where(ok, idx, 0).ravel(),
                   vals.reshape(-1, 4))
         return
