@@ -24,8 +24,9 @@ FROZEN SEMANTICS (change any of these => regenerate all golden files):
     M > Ix > Iy; candidate order = ascending genome position, '+' before '-'.
   * Seeds at read offsets 0, j, 2j, ... <= L-m; seeds whose k-mer contains N
     are skipped; seeds with more than max_hits_per_seed index hits are skipped
-    (repeat cap); per-strand candidates deduped ascending, first
-    max_candidates kept.
+    (repeat cap); per-strand candidates deduped; over the cap the
+    max_candidates ranked best by (seed votes desc, position asc) are kept
+    [FROZEN v2]; candidate order stays ascending by position.
   * Retention: locus kept iff score >= threshold_for(max_attainable(strand))
     (exact integer ceil(a_q * ms / 2^32), MapperConfig.threshold_for) and
     score > 0; weights w_i = s_i / sum(s_j) over all retained loci of both
@@ -224,7 +225,11 @@ def candidates_for(codes: np.ndarray, index: Dict[int, List[int]],
     else:
         from gnumap_tpu.index.builder import kmer_codes_b3
         kmers, valid = kmer_codes_b3(codes, m, collapse)
-    cands = set()
+    # [FROZEN v2] candidates are vote-counted: votes[cand] = number of
+    # (seed offset, index hit) pairs anchoring it.  Over the cap, keep the
+    # max_candidates ranked best by (votes desc, position asc); output is
+    # ascending by position.  Mirrors pipeline.mapper.dedupe_cap.
+    votes: Dict[int, int] = {}
     for off in range(0, L - m + 1, cfg.seed_jump):
         if off >= len(kmers) or not valid[off]:
             continue
@@ -232,8 +237,9 @@ def candidates_for(codes: np.ndarray, index: Dict[int, List[int]],
         if len(hits) > cfg.max_hits_per_seed:
             continue
         for p in hits:
-            cands.add(p - off)
-    return sorted(cands)[:cfg.max_candidates]
+            votes[p - off] = votes.get(p - off, 0) + 1
+    ranked = sorted(votes, key=lambda c: (-votes[c], c))
+    return sorted(ranked[:cfg.max_candidates])
 
 
 def map_read(codes: np.ndarray, pwm_q: np.ndarray, gen: OracleGenome,

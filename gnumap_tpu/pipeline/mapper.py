@@ -132,17 +132,39 @@ def csr_hits(km, bad, bucket_start, positions, offsets, cfg):
 
 def dedupe_cap(cand, C):
     """Sort-dedupe-cap per read: (B2, S*caph) -> (B2, C) ascending with
-    SENTINEL padding (two sorts replace the reference's per-read hash set)."""
+    SENTINEL padding (sorts replace the reference's per-read hash set).
+
+    [FROZEN v2] When more than C unique candidates survive dedupe, keep the
+    C ranked best by (seed votes desc, position asc), where a candidate's
+    votes = how many (seed offset, index hit) pairs anchored it.  A true
+    locus is anchored by ~every seed of the read while background k-mer
+    collisions get one vote each, so on whole-genome indexes (config 5:
+    ~4 random hits/seed at 1 Gbp, mer 14) the cap keeps the loci the
+    reference would have scored best instead of the C smallest positions.
+    When unique candidates <= C (every small-genome config) the kept set is
+    unchanged.  Output stays ascending-by-position [FROZEN].  Mirrors
+    oracle.candidates_for."""
     flat = cand.reshape(cand.shape[0], -1)
+    B2, N = flat.shape
     s1 = jnp.sort(flat, axis=1)
+    idxs = jnp.arange(N, dtype=jnp.int32)[None, :]
     uniq = jnp.concatenate(
         [jnp.ones_like(s1[:, :1], dtype=bool), s1[:, 1:] != s1[:, :-1]],
         axis=1)
-    s2 = jnp.sort(jnp.where(uniq, s1, SENTINEL), axis=1)
-    if s2.shape[1] < C:
-        s2 = jnp.pad(s2, ((0, 0), (0, C - s2.shape[1])),
-                     constant_values=SENTINEL)
-    return s2[:, :C]
+    # votes per run-start entry = distance to the next run start
+    t = jnp.where(uniq, idxs, N).astype(jnp.int32)
+    nxt = jnp.concatenate(
+        [jax.lax.cummin(t[:, ::-1], axis=1)[:, ::-1][:, 1:],
+         jnp.full((B2, 1), N, jnp.int32)], axis=1)
+    votes = nxt - idxs
+    real = uniq & (s1 != SENTINEL)
+    key_votes = jnp.where(real, -votes, jnp.int32(1))
+    key_pos = jnp.where(real, s1, SENTINEL)
+    _, by_rank = jax.lax.sort((key_votes, key_pos), num_keys=2)
+    top = by_rank[:, :C]
+    if N < C:
+        top = jnp.pad(top, ((0, 0), (0, C - N)), constant_values=SENTINEL)
+    return jnp.sort(top, axis=1)
 
 
 def windows_for(cand_chunk, g_codes, cfg):
@@ -554,20 +576,16 @@ class TpuMapper:
         lens2 = jnp.concatenate([lens, lens], axis=0)
 
         if self.align_impl == "pallas":
-            # Pack the DP grid: order read-strand rows by candidate count so
-            # sentinel bands cluster into skippable tiles (occupancy, not
-            # semantics — scores are inverse-permuted back).
+            # nw_scores_pallas sorts read-strand rows by candidate count
+            # internally (suffix-active tiles; clamped steps are free)
             with jax.named_scope("nw_pallas"):
-                n_val = jnp.sum(cands != SENTINEL, axis=1)
-                order = jnp.argsort(n_val)
-                inv = jnp.argsort(order)
-                emis2_t = jnp.transpose(emis2, (0, 2, 1))[order]
+                emis2_t = jnp.transpose(emis2, (0, 2, 1))
                 scores = nw_pallas.nw_scores_pallas(
-                    emis2_t, cands[order], lens2[order], g_words,
+                    emis2_t, cands, lens2, g_words,
                     L=cfg.max_read_len, W=cfg.window_width(),
                     slack=cfg.gap_slack, open_q=open_q, ext_q=ext_q,
                     interpret=self._interpret, rpt=cfg.pallas_rpt,
-                    sublanes=cfg.pallas_sublanes)[inv]
+                    sublanes=cfg.pallas_sublanes)
         else:
             def chunk_fn(cand_chunk):
                 win = windows_for(jnp.where(cand_chunk == SENTINEL, 0,
