@@ -113,23 +113,13 @@ def _bcast_col(col, tpc):
     return pltpu.repeat(col, tpc, axis=0)
 
 
-def _nw_kernel(gmin_ref, rows_ref, win8_ref, out_ref,
+def _nw_kernel(skip_ref, rows_ref, win8_ref, out_ref,
                m_ref, ix_ref, iy_ref, *,
                L: int, W: int, Wp: int, open_q: int, ext_q: int,
                rpt: int, S: int):
     """One tile: rpt reads x tpc candidate slots (rpt*tpc = 64).
 
-    Grid is (nt candidate tiles, G8 read groups), g minor.  Callers sort
-    read-strands ascending by candidate count, so tile (g, t)'s activity is
-    a SUFFIX in g; gmin_ref[t] (scalar-prefetched) is the first active
-    group.  Steps with g < gmin[t] are CLAMPED by the index maps onto block
-    (gmin[t], t) — consecutive duplicates re-DMA nothing (Mosaic skips
-    unchanged blocks) — and just stamp NEG_INF, which the true (g=gmin[t])
-    step then overwrites, because g ascends within each t.  This replaces
-    the round-1 per-tile skip flags, whose skipped steps still paid the
-    block DMA (~55% of config-2 kernel time).
-
-    gmin_ref: SMEM (nt,)              first active read group per cand tile
+    skip_ref: SMEM (1, 1, 1, 1)       1 = all slots sentinel, skip tile
     rows_ref: VMEM (1, Lp, rpt, 8)    per-(row, read): lanes 0..4 emission,
                                       lane 5 gap-open_i, lane 6 gap-ext_i
     win8_ref: VMEM (1, 1, 64, Wp) int8 window codes (5 = masked/N-pad)
@@ -137,31 +127,16 @@ def _nw_kernel(gmin_ref, rows_ref, win8_ref, out_ref,
     m/ix/iy:  VMEM (S, Wp) int32 scratch — DP state, lane j = column j+1
     """
     tpc = S // rpt
-    t = pl.program_id(0)
-    g = pl.program_id(1)
 
-    @pl.when(g < gmin_ref[t])
+    @pl.when(skip_ref[0, 0, 0, 0] == 1)
     def _():
         out_ref[0, 0, 0, :] = jnp.full((S,), NEG_INF, dtype=jnp.int32)
 
-    @pl.when(g >= gmin_ref[t])
+    @pl.when(skip_ref[0, 0, 0, 0] == 0)
     def _():
-        # loop-invariant vectors, hoisted out of the row loop: (1, Wp)
-        # masks cost one vreg each instead of a fresh iota+compare per row
-        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, Wp), 1)
         lane = jax.lax.broadcasted_iota(jnp.int32, (S, Wp), 1)
-        in_w = lane1 < W
-        ge1 = lane1 >= 1
-        cm_shifts = []
-        sh = 1
-        while sh < Wp:
-            cm_shifts.append(sh)
-            sh *= 2
-        cm_masks = [lane1 >= s for s in cm_shifts]
-        ramp = (lane1 + 1) * ext_q               # (1, Wp)
-        iy_off = -open_q - lane1 * ext_q         # (1, Wp)
-        win = win8_ref[0, 0]                     # int8: cheap compares
-        win = jnp.where(in_w, win, jnp.int8(5))
+        win = win8_ref[0, 0].astype(jnp.int32)
+        win = jnp.where(lane < W, win, 5)
 
         m_ref[:, :] = jnp.zeros((S, Wp), jnp.int32)        # M[0][j] = 0
         ix_ref[:, :] = jnp.full((S, Wp), NEG_INF, jnp.int32)
@@ -178,18 +153,14 @@ def _nw_kernel(gmin_ref, rows_ref, win8_ref, out_ref,
                               e)
             M, Ix, Iy = m_ref[:, :], ix_ref[:, :], iy_ref[:, :]
             prev_best = jnp.maximum(jnp.maximum(M, Ix), Iy)
-            diag = jnp.where(ge1, pltpu.roll(prev_best, 1, 1),
-                             jnp.maximum(m0, ix0))
+            diag = _shift_right_fill(prev_best, jnp.maximum(m0, ix0))
             M_new = jnp.maximum(e + diag, NEG_INF)
             Ix_new = jnp.maximum(jnp.maximum(M - opn, Ix - ext), NEG_INF)
             # Iy[col] = max_{k<=col-1}(M[k] + k*ext) - open - (col-1)*ext,
             # col = lane+1; column 0's M is NEG_INF for every row i >= 1.
-            pm = M_new + ramp
-            for mask, s in zip(cm_masks, cm_shifts):
-                pm = jnp.maximum(pm, jnp.where(mask, pltpu.roll(pm, s, 1),
-                                               NEG_INF))
+            pm = _cummax_lanes(M_new + (lane + 1) * ext_q, Wp)
             Iy_new = jnp.maximum(
-                jnp.where(ge1, pltpu.roll(pm, 1, 1), NEG_INF) + iy_off,
+                _shift_right_fill(pm, NEG_INF) - open_q - lane * ext_q,
                 NEG_INF)
             m_ref[:, :] = M_new
             ix_ref[:, :] = Ix_new
@@ -567,23 +538,9 @@ def nw_scores_pallas(emis_t: jax.Array, cands: jax.Array, lens: jax.Array,
         cands = jnp.pad(cands, ((0, B2p - B2), (0, 0)),
                         constant_values=SENTINEL)
         lens = jnp.pad(lens, (0, B2p - B2))
-    # Sort read-strands ascending by candidate count so per-candidate-tile
-    # activity is a suffix over read groups (see _nw_kernel: clamped grid
-    # steps cost no DMA and no DP).  Scores are inverse-permuted back, so
-    # this is occupancy only, never semantics.
-    n_val = jnp.sum(cands != SENTINEL, axis=1).astype(jnp.int32)
-    order = jnp.argsort(n_val)
-    inv = jnp.argsort(order)
-    emis_t = emis_t[order]
-    cands = cands[order]
-    lens = lens[order]
     G8 = B2p // RPT_
     nt = C // TPC
     nw = Wp // BASES_PER_WORD
-    group_max = jnp.max(n_val[order].reshape(G8, RPT_), axis=1)  # (G8,)
-    gmin = jnp.sum(group_max[None, :] <= (jnp.arange(nt, dtype=jnp.int32)
-                                          * TPC)[:, None],
-                   axis=1).astype(jnp.int32)                     # (nt,)
 
     # --- per-(row, read) data slab: emission lanes 0..4, opn 5, ext 6 ---
     rows = jnp.zeros((B2p, Lp, 8), dtype=jnp.int32)
@@ -608,38 +565,37 @@ def nw_scores_pallas(emis_t: jax.Array, cands: jax.Array, lens: jax.Array,
     win8 = win8.reshape(G8, RPT_, nt, TPC, Wp).transpose(0, 2, 3, 1, 4)
     win8 = win8.reshape(G8, nt, sublanes, Wp)
 
+    # --- per-tile skip flags ---
+    tile_valid = (cands != SENTINEL).reshape(G8, RPT_, nt, TPC)
+    skip = jnp.logical_not(tile_valid.any(axis=(1, 3))).astype(jnp.int32)
+    skip = skip.reshape(G8, nt, 1, 1)
+
     kernel = functools.partial(
         _nw_kernel, L=L, W=W, Wp=Wp, open_q=open_q, ext_q=ext_q, rpt=rpt,
         S=sublanes)
-
-    def _g(t, g, gm):
-        # clamp inactive steps onto the first active group's block: the
-        # duplicated index means no fresh DMA, and their NEG_INF stamp is
-        # overwritten by the true (g = gmin[t]) step since g ascends
-        return jnp.minimum(jnp.maximum(g, gm[t]), G8 - 1)
-
     scores = pl.pallas_call(
         kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(nt, G8),
-            in_specs=[
-                pl.BlockSpec((1, Lp, RPT_, 8),
-                             lambda t, g, gm: (_g(t, g, gm), 0, 0, 0)),
-                pl.BlockSpec((1, 1, sublanes, Wp),
-                             lambda t, g, gm: (_g(t, g, gm), t, 0, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, 1, 1, sublanes),
-                                   lambda t, g, gm: (_g(t, g, gm), t, 0, 0)),
-            scratch_shapes=[
-                pltpu.VMEM((sublanes, Wp), jnp.int32),
-                pltpu.VMEM((sublanes, Wp), jnp.int32),
-                pltpu.VMEM((sublanes, Wp), jnp.int32),
-            ]),
+        grid=(G8, nt),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, 1), lambda g, t: (g, t, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Lp, RPT_, 8), lambda g, t: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sublanes, Wp), lambda g, t: (g, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, sublanes),
+                               lambda g, t: (g, t, 0, 0),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((G8, nt, 1, sublanes), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((sublanes, Wp), jnp.int32),
+            pltpu.VMEM((sublanes, Wp), jnp.int32),
+            pltpu.VMEM((sublanes, Wp), jnp.int32),
+        ],
         interpret=interpret,
-    )(gmin, rows, win8)
+    )(skip, rows, win8)
     # (G8, nt, 1, TPC*rpt) -> sublane s = tpc-major: s = tpc*c + r
     scores = scores.reshape(G8, nt, TPC, RPT_).transpose(0, 3, 1, 2)
-    scores = scores.reshape(B2p, C)[inv][:B2]
-    return jnp.where(cands[inv][:B2] != SENTINEL, scores, NEG_INF)
+    scores = scores.reshape(B2p, C)[:B2]
+    return jnp.where(cands[:B2] != SENTINEL, scores, NEG_INF)

@@ -576,16 +576,20 @@ class TpuMapper:
         lens2 = jnp.concatenate([lens, lens], axis=0)
 
         if self.align_impl == "pallas":
-            # nw_scores_pallas sorts read-strand rows by candidate count
-            # internally (suffix-active tiles; clamped steps are free)
+            # Pack the DP grid: order read-strand rows by candidate count so
+            # sentinel bands cluster into skippable tiles (occupancy, not
+            # semantics — scores are inverse-permuted back).
             with jax.named_scope("nw_pallas"):
-                emis2_t = jnp.transpose(emis2, (0, 2, 1))
+                n_val = jnp.sum(cands != SENTINEL, axis=1)
+                order = jnp.argsort(n_val)
+                inv = jnp.argsort(order)
+                emis2_t = jnp.transpose(emis2, (0, 2, 1))[order]
                 scores = nw_pallas.nw_scores_pallas(
-                    emis2_t, cands, lens2, g_words,
+                    emis2_t, cands[order], lens2[order], g_words,
                     L=cfg.max_read_len, W=cfg.window_width(),
                     slack=cfg.gap_slack, open_q=open_q, ext_q=ext_q,
                     interpret=self._interpret, rpt=cfg.pallas_rpt,
-                    sublanes=cfg.pallas_sublanes)
+                    sublanes=cfg.pallas_sublanes)[inv]
         else:
             def chunk_fn(cand_chunk):
                 win = windows_for(jnp.where(cand_chunk == SENTINEL, 0,
