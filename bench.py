@@ -213,10 +213,18 @@ def kernel_bitcheck():
     cands = np.sort(cands, axis=1)
     gwords = nw_pallas.pad_genome_words(g, W)
     emis_t = np.ascontiguousarray(emis.transpose(0, 2, 1))
-    got = np.asarray(nw_pallas.nw_scores_pallas(
-        emis_t, jnp_arr(cands), jnp_arr(lens), jnp_arr(gwords),
-        L=L, W=W, slack=cfg.gap_slack, open_q=cfg.gap_open_q(),
-        ext_q=cfg.gap_extend_q(), interpret=interpret))
+    # production scoring path: banded kernel when the config bands
+    if cfg.band() is not None:
+        got = np.asarray(nw_pallas.nw_scores_banded(
+            emis_t, jnp_arr(cands), jnp_arr(lens), jnp_arr(gwords),
+            L=L, W=W, slack=cfg.gap_slack, boff=cfg.band()[0],
+            open_q=cfg.gap_open_q(), ext_q=cfg.gap_extend_q(),
+            interpret=interpret))
+    else:
+        got = np.asarray(nw_pallas.nw_scores_pallas(
+            emis_t, jnp_arr(cands), jnp_arr(lens), jnp_arr(gwords),
+            L=L, W=W, slack=cfg.gap_slack, open_q=cfg.gap_open_q(),
+            ext_q=cfg.gap_extend_q(), interpret=interpret))
 
     def window_of(cand):
         ws = int(cfg.window_start(int(cand)))
@@ -249,7 +257,7 @@ def kernel_bitcheck():
         jnp_arr(tb_emis), jnp_arr(tb_cands), jnp_arr(tb_lens),
         jnp_arr(gwords), L=L, W=W, slack=cfg.gap_slack,
         open_q=cfg.gap_open_q(), ext_q=cfg.gap_extend_q(),
-        interpret=interpret)
+        interpret=interpret, band=cfg.band())
     ops, jfin = np.asarray(ops), np.asarray(jfin)
     for h, (b, c) in enumerate(keep):
         _, window = window_of(cands[b, c])

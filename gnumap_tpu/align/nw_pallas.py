@@ -81,11 +81,14 @@ def pack_4bit(codes: np.ndarray) -> np.ndarray:
 
 
 def pad_genome_words(g_codes: np.ndarray, W: int) -> np.ndarray:
-    """4-bit pack the genome with W Ns on the left and W + Wp Ns on the
-    right so every window word index is in range."""
+    """4-bit pack the genome with W Ns on the left and W + Wp + 64 Ns on
+    the right (total padded to a 64-base multiple) so every window word
+    index — including the banded path's whole-row fetches of 8-word rows
+    (_gather_windows) — is in range."""
     Wp = _round_up(W, 128)
+    n = W + len(g_codes) + W + Wp + 64
     pad_l = np.full(W, 4, np.int8)
-    pad_r = np.full(W + Wp, 4, np.int8)
+    pad_r = np.full(W + Wp + 64 + (-n) % 64, 4, np.int8)
     return pack_4bit(np.concatenate([pad_l, np.asarray(g_codes, np.int8),
                                      pad_r]))
 
@@ -181,6 +184,250 @@ def _nw_kernel(skip_ref, rows_ref, win8_ref, out_ref,
 
 
 # ---------------------------------------------------------------------------
+# Banded scoring kernel ([FROZEN v3] band, config.MapperConfig.band)
+#
+# Design (vs the full-width kernel above):
+#   * Diagonal-band state: DP lane b holds column c = i + b - boff at read
+#     row i, so the matrix "slides" one column per row.  The diagonal
+#     predecessor becomes a SAME-LANE read (no roll), Ix shifts one lane
+#     left, and the in-row Iy prefix-max ramp is lane-local because the
+#     (i - boff) column offset cancels out of the frozen unrolling.
+#   * 2 candidates per 128-lane register: lanes [0:64) and [64:128) are
+#     independent 64-lane band segments of two candidate loci of the same
+#     read (sublane = read), so every VPU op advances 2x the problems of a
+#     window-per-lane layout.  Segment isolation = lane_local (= lane & 63)
+#     masks on the shift/cummax ops.
+#   * Genome windows are fetched by an XLA ROW gather + word realignment
+#     (see _gather_windows): whole aligned 8-word rows are gathered (cost
+#     on TPU scales with gather rows, measured ~13x cheaper than the
+#     per-element word gather that cost 2x the DP kernel itself at
+#     config-2 shapes), then the o = start%8 word phase is resolved by an
+#     8-way one-hot select of static shifted slices — pure fused
+#     elementwise work, no serial gather.
+#   * End-row capture: the score max(M[len], Ix[len], ix0[len]) is latched
+#     at each read's true last row (lane 7 end flag), replacing the frozen
+#     free-pad-row draining (band coords keep moving on pad rows, so the
+#     old "read the final row" trick no longer holds values in place).
+#   * Out-of-window / column-0 lanes poison their emission with DEEP
+#     (2x NEG_INF) so the NEG_INF floor makes them EXACTLY NEG_INF —
+#     bit-identical to the banded oracle where those cells don't exist.
+#
+# Scores are bit-identical to the [FROZEN v3] banded oracle.nw_align /
+# nw_ref.nw_scores(band=...) (tests/test_pallas.py, bench kernel_bitcheck).
+# ---------------------------------------------------------------------------
+
+BAND = 64           # band lanes per candidate segment (2 segments / vreg)
+DEEP = -(1 << 30)   # emission poison: DEEP + any diag < NEG_INF, floored
+
+
+def _gather_windows(cands, valid, genome_words, W, Wroll, slack):
+    """(B2p, C) candidate anchors -> (B2p, C, Wroll) int8 window codes.
+
+    Row gather + phase realignment: gathers whole 8-word rows of the
+    4-bit-packed genome (TPU gather cost scales with row count), then
+    selects the o = word-offset%8 phase with an 8-way one-hot over static
+    shifted slices, and nibble-unpacks.  Sentinel slots poison to code 5.
+    """
+    nw = Wroll // BASES_PER_WORD
+    nfetch = -(-(7 + nw) // 8)                   # rows covering o + nw words
+    words2d = genome_words[: (genome_words.shape[0] // 8) * 8].reshape(-1, 8)
+    nrows = words2d.shape[0]
+    wsw = (window_start(jnp.where(valid, cands, 0), slack) + W) \
+        // BASES_PER_WORD
+    r0 = wsw // 8
+    o = wsw % 8
+    rows3 = words2d[jnp.clip(
+        r0[:, :, None] + jnp.arange(nfetch, dtype=jnp.int32),
+        0, nrows - 1)]                            # (B2p, C, nfetch, 8)
+    flat = rows3.reshape(*cands.shape, nfetch * 8)
+    win_words = flat[..., 0:nw]
+    for k in range(1, 8):
+        win_words = jnp.where((o == k)[:, :, None], flat[..., k:k + nw],
+                              win_words)
+    rep = jnp.repeat(win_words, BASES_PER_WORD, axis=2)   # (B2p, C, Wroll)
+    sub = (jnp.arange(Wroll, dtype=jnp.int32) % BASES_PER_WORD) * 4
+    win8 = ((rep >> sub) & 0xF).astype(jnp.int8)
+    return jnp.where(valid[:, :, None], win8, jnp.int8(5))
+
+
+def _nw_band_kernel(meta_ref, rows_ref, win_ref, out_ref,
+                    m_ref, ix_ref, iy_ref, cap_ref, *,
+                    L: int, W: int, Wroll: int, boff: int,
+                    open_q: int, ext_q: int, S: int):
+    """One tile: S reads x 2 candidate slots, 64-lane band per slot.
+
+    meta_ref: SMEM (1, 1, 1, 2) int32    [skip, max_len_of_read_group]
+    rows_ref: VMEM (1, Lp, S, 8) int32   lanes 0..4 emission, 5 open_i,
+                                         6 ext_i, 7 end-row flag
+    win_ref:  VMEM (1, 1, 2S, Wroll) int8  full windows, slot a*S + r
+                                         (code 5 = sentinel poison)
+    out_ref:  VMEM (1, 1, S, 128) int32  end captures (reduce per 64)
+    m/ix/iy/cap: VMEM (S, 128) int32
+    """
+    skip = meta_ref[0, 0, 0, 0]
+
+    @pl.when(skip == 1)
+    def _():
+        out_ref[0, 0] = jnp.full((S, 128), NEG_INF, jnp.int32)
+
+    @pl.when(skip == 0)
+    def _():
+        lane = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)
+        lane_local = lane & (BAND - 1)
+        col_base = lane_local - boff            # col = col_base + i
+        ramp1 = lane_local * ext_q
+        ramp2 = open_q + (lane_local - 1) * ext_q
+        cum_masks = [(lane_local >= sh, sh) for sh in (1, 2, 4, 8, 16, 32)]
+        ge1 = lane_local >= 1
+        le_bm2 = lane_local <= BAND - 2
+        segA = lane < BAND
+        maxlen = meta_ref[0, 0, 0, 1]
+
+        # M[0][c] = 0 for window columns c in [0, W]; lanes whose row-0
+        # column is outside that range must start at exactly NEG_INF or
+        # row 1's Ix would inherit -open at columns the oracle doesn't have
+        m_ref[:, :] = jnp.where((col_base >= 0) & (col_base <= W),
+                                jnp.int32(0), jnp.int32(NEG_INF))
+        ix_ref[:, :] = jnp.full((S, 128), NEG_INF, jnp.int32)
+        iy_ref[:, :] = jnp.full((S, 128), NEG_INF, jnp.int32)
+        cap_ref[:, :] = jnp.full((S, 128), NEG_INF, jnp.int32)
+
+        # int32 window codes: Mosaic's lane rotate is 32-bit only
+        win_all = win_ref[0, 0].astype(jnp.int32)
+        winA = win_all[:S]
+        winB = win_all[S:]
+        # rolled windows: at row i, lanes of wrA/wrB hold the band's window
+        # bases winX[(i + lane_local - boff) - 1]; rolled left 1 per row
+        wrA = pltpu.roll(winA, boff % Wroll, 1)
+        wrB = pltpu.roll(winB, (64 + boff) % Wroll, 1)
+
+        def row(k, carry):
+            wrA, wrB, m0, ix0 = carry
+            i = k + 1
+            slab = rows_ref[0, k]                # (S, 8)
+            opn = slab[:, 5:6]
+            ext = slab[:, 6:7]
+            endf = slab[:, 7:8] > 0
+            col = col_base + i
+            win = jnp.where(segA, wrA[:, :128], wrB[:, :128])
+            win = jnp.where((col < 1) | (col > W), 5, win)
+            e = jnp.full((S, 128), DEEP, jnp.int32)
+            for v in range(5):
+                e = jnp.where(win == v, slab[:, v:v + 1], e)
+            M, Ix, Iy = m_ref[:, :], ix_ref[:, :], iy_ref[:, :]
+            diag = jnp.maximum(jnp.maximum(M, Ix), Iy)
+            diag = jnp.where(col == 1, jnp.maximum(m0, ix0), diag)
+            M_new = jnp.maximum(e + diag, NEG_INF)
+            t = jnp.maximum(M - opn, Ix - ext)
+            Ix_new = jnp.maximum(
+                jnp.where(le_bm2, pltpu.roll(t, 127, 1), NEG_INF), NEG_INF)
+            pm = M_new + ramp1
+            for mask, sh in cum_masks:
+                pm = jnp.maximum(pm, jnp.where(mask, pltpu.roll(pm, sh, 1),
+                                               NEG_INF))
+            Iy_new = jnp.maximum(
+                jnp.where(ge1, pltpu.roll(pm, 1, 1), NEG_INF) - ramp2,
+                NEG_INF)
+            m_ref[:, :] = M_new
+            ix_ref[:, :] = Ix_new
+            iy_ref[:, :] = Iy_new
+            ix0_new = jnp.maximum(
+                jnp.maximum(m0 - opn, ix0 - ext), NEG_INF)
+            fin = jnp.maximum(jnp.maximum(M_new, Ix_new), ix0_new)
+            cap_ref[:, :] = jnp.where(endf, fin, cap_ref[:, :])
+            m0_new = jnp.full((S, 1), NEG_INF, jnp.int32)
+            return (pltpu.roll(wrA, Wroll - 1, 1),
+                    pltpu.roll(wrB, Wroll - 1, 1), m0_new, ix0_new)
+
+        jax.lax.fori_loop(
+            0, maxlen, row,
+            (wrA, wrB, jnp.zeros((S, 1), jnp.int32),
+             jnp.full((S, 1), NEG_INF, jnp.int32)))
+        out_ref[0, 0] = cap_ref[:, :]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("L", "W", "slack", "boff", "open_q",
+                                    "ext_q", "interpret", "rpt"))
+def nw_scores_banded(emis_t: jax.Array, cands: jax.Array, lens: jax.Array,
+                     genome_words: jax.Array, *, L: int, W: int, slack: int,
+                     boff: int, open_q: int, ext_q: int,
+                     interpret: bool = False, rpt: int = 64) -> jax.Array:
+    """Banded scores for every (read-strand, candidate) pair ([FROZEN v3]).
+
+    emis_t:       int32[B2, 5, L]  emission tables, code-major
+    cands:        int32[B2, C]     sorted candidate anchors, SENTINEL-padded
+    lens:         int32[B2]        true read lengths
+    genome_words: int32[Gw]        4-bit packed genome from pad_genome_words
+    returns:      int32[B2, C]     alignment scores (NEG_INF at sentinels)
+    """
+    B2, C = cands.shape
+    S = rpt
+    assert C % 2 == 0, "max_candidates must be even for the banded kernel"
+    Wroll = _round_up(W, 128)
+    Lp = _round_up(L, 8)
+    B2p = _round_up(B2, S)
+    if B2p != B2:
+        emis_t = jnp.pad(emis_t, ((0, B2p - B2), (0, 0), (0, 0)))
+        cands = jnp.pad(cands, ((0, B2p - B2), (0, 0)),
+                        constant_values=SENTINEL)
+        lens = jnp.pad(lens, (0, B2p - B2))
+    Gb = B2p // S
+    nt2 = C // 2
+
+    rows = jnp.zeros((B2p, Lp, 8), dtype=jnp.int32)
+    rows = rows.at[:, :L, :5].set(jnp.transpose(emis_t, (0, 2, 1)))
+    ar = jnp.arange(Lp, dtype=jnp.int32)[None, :]
+    in_read = ar < lens[:, None]
+    rows = rows.at[:, :, 5].set(jnp.where(in_read, open_q, 0))
+    rows = rows.at[:, :, 6].set(jnp.where(in_read, ext_q, 0))
+    rows = rows.at[:, :, 7].set((ar == lens[:, None] - 1).astype(jnp.int32))
+    rows = rows.reshape(Gb, S, Lp, 8).transpose(0, 2, 1, 3)
+
+    valid = cands != SENTINEL
+    win8 = _gather_windows(cands, valid, genome_words, W, Wroll, slack)
+    win8 = win8.reshape(Gb, S, nt2, 2, Wroll).transpose(0, 2, 3, 1, 4)
+    win8 = win8.reshape(Gb, nt2, 2 * S, Wroll)
+
+    skip = jnp.logical_not(
+        valid.reshape(Gb, S, nt2, 2).any(axis=(1, 3))).astype(jnp.int32)
+    maxlen = jnp.max(lens.reshape(Gb, S), axis=1).astype(jnp.int32)
+    meta = jnp.stack([skip, jnp.broadcast_to(maxlen[:, None], (Gb, nt2))],
+                     axis=2).reshape(Gb, nt2, 1, 2)
+
+    kernel = functools.partial(
+        _nw_band_kernel, L=L, W=W, Wroll=Wroll, boff=boff,
+        open_q=open_q, ext_q=ext_q, S=S)
+    out = pl.pallas_call(
+        kernel,
+        grid=(Gb, nt2),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, 2), lambda g, t: (g, t, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Lp, S, 8), lambda g, t: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2 * S, Wroll), lambda g, t: (g, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, S, 128), lambda g, t: (g, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Gb, nt2, S, 128), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((S, 128), jnp.int32),
+            pltpu.VMEM((S, 128), jnp.int32),
+            pltpu.VMEM((S, 128), jnp.int32),
+            pltpu.VMEM((S, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(meta, rows, win8)
+    # (Gb, nt2, S, 128) -> max over each 64-lane segment -> (B2p, C)
+    scores = jnp.max(out.reshape(Gb, nt2, S, 2, BAND), axis=4)
+    scores = scores.transpose(0, 2, 1, 3).reshape(B2p, C)[:B2]
+    return jnp.where(cands[:B2] != SENTINEL, scores, NEG_INF)
+
+
+
+# ---------------------------------------------------------------------------
 # Device-side traceback (SURVEY.md §7 "rescoring winners" — the second pass
 # over retained loci, now on-device instead of the native C++ host finisher)
 # ---------------------------------------------------------------------------
@@ -262,7 +509,7 @@ def _extract_lane(x, lane_col, fill):
 def _nw_tb_kernel(skip_ref, rows_ref, win8_ref, ops_ref, jfin_ref,
                   m_ref, ix_ref, iy_ref, endm_ref, endix_ref, dir_ref, *,
                   L: int, W: int, Wp: int, Lp: int, Lpp: int,
-                  open_q: int, ext_q: int, S: int):
+                  open_q: int, ext_q: int, S: int, band=None):
     """One tile: 64 retained hits, one per sublane.
 
     Phase 1 (forward): the same frozen DP as _nw_kernel, additionally
@@ -321,11 +568,23 @@ def _nw_tb_kernel(skip_ref, rows_ref, win8_ref, ops_ref, jfin_ref,
                               jnp.where(ix_sh == diag, 1, 2))
             ix_bit = ((M - opn) >= (Ix - ext)).astype(jnp.int32)
             M_new = jnp.maximum(e + diag, NEG_INF)
+            # [FROZEN v3] band mask (config.MapperConfig.band): M masked
+            # before the Iy prefix chain, Ix/Iy after; direction bits are
+            # derived from the masked values so the backwalk sees exactly
+            # the banded oracle's arrays.
+            if band is not None:
+                boff, bw = band
+                off_b = ((lane + 1 < (i + 1) - boff)
+                         | (lane + 1 > (i + 1) - boff + bw - 1))
+                M_new = jnp.where(off_b, NEG_INF, M_new)
             Ix_new = jnp.maximum(jnp.maximum(M - opn, Ix - ext), NEG_INF)
             pm = _cummax_lanes(M_new + (lane + 1) * ext_q, Wp)
             Iy_new = jnp.maximum(
                 _shift_right_fill(pm, NEG_INF) - open_q - lane * ext_q,
                 NEG_INF)
+            if band is not None:
+                Ix_new = jnp.where(off_b, NEG_INF, Ix_new)
+                Iy_new = jnp.where(off_b, NEG_INF, Iy_new)
             iy_bit = ((_shift_right_fill(M_new, NEG_INF) - open_q)
                       >= (_shift_right_fill(Iy_new, NEG_INF) - ext_q)
                       ).astype(jnp.int32)
@@ -410,11 +669,12 @@ def _nw_tb_kernel(skip_ref, rows_ref, win8_ref, ops_ref, jfin_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("L", "W", "slack", "open_q", "ext_q",
-                                    "interpret", "sublanes"))
+                                    "interpret", "sublanes", "band"))
 def nw_traceback_pallas(emis_t: jax.Array, cands: jax.Array, lens: jax.Array,
                         genome_words: jax.Array, *, L: int, W: int,
                         slack: int, open_q: int, ext_q: int,
-                        interpret: bool = False, sublanes: int = SUBLANES):
+                        interpret: bool = False, sublanes: int = SUBLANES,
+                        band=None):
     """Exact traceback for H retained hits (one DP + backwalk each).
 
     emis_t: int32[H, 5, L]   emission table of the hit's read-strand
@@ -469,7 +729,7 @@ def nw_traceback_pallas(emis_t: jax.Array, cands: jax.Array, lens: jax.Array,
 
     kernel = functools.partial(
         _nw_tb_kernel, L=L, W=W, Wp=Wp, Lp=Lp, Lpp=Lpp,
-        open_q=open_q, ext_q=ext_q, S=sublanes)
+        open_q=open_q, ext_q=ext_q, S=sublanes, band=band)
     ops, jfin = pl.pallas_call(
         kernel,
         grid=(nt,),

@@ -102,6 +102,9 @@ class MapperConfig:
                 "(4^m index buckets; bisulfite seeds are base-3, 3^m)")
         if self.seed_jump < 1:
             raise ValueError("seed_jump must be >= 1")
+        if self.max_candidates % 2:
+            raise ValueError("max_candidates must be even (banded kernel "
+                             "packs 2 candidate segments per register row)")
         if not (0.0 < self.align_score_ratio <= 1.0):
             raise ValueError("align_score_ratio in (0, 1]")
 
@@ -120,6 +123,26 @@ class MapperConfig:
 
     def window_start(self, cand):
         return ((cand - self.gap_slack) // WINDOW_ALIGN) * WINDOW_ALIGN
+
+    # [FROZEN v3] DP band.  The affine NW recurrence is band-restricted:
+    # for read row i >= 1, window column j >= 1 participates iff
+    #   i - boff <= j <= i - boff + bw - 1,
+    # i.e. M/Ix/Iy[i][j] are forced to exactly NEG_INF outside the band
+    # (column 0 — the leading-insertion ramp — is exempt).  boff = 2*slack
+    # and bw = 64 cover every alignment the window itself supports: start
+    # column in [0, 2*slack + WINDOW_ALIGN) (floor-aligned window rule) and
+    # path deviation within +-slack needs j - i in [-(slack+1), 3*slack +
+    # WINDOW_ALIGN - 1], a width of 4*slack + WINDOW_ALIGN + 2 <= 64 for
+    # slack <= 11.  Larger slack disables banding (None) and every DP
+    # implementation (oracle, nw_ref, Pallas, native host finisher) falls
+    # back to the unbanded recurrence — band identity is a pure function of
+    # this config, never of the backend.  Within-band values are unchanged;
+    # retained (score >= a*max) alignments always fit the band, so banding
+    # only rewrites junk sub-threshold scores.
+    def band(self) -> Optional[Tuple[int, int]]:
+        if 4 * self.gap_slack + WINDOW_ALIGN + 2 <= 64:
+            return (2 * self.gap_slack, 64)
+        return None
 
     # FROZEN retention threshold: ceil(a * max_score) computed in exact
     # integer arithmetic with a quantized to RATIO_BITS binary digits, so

@@ -93,11 +93,14 @@ class DistMapper:
         self.bucket_start, self.positions = self._idx_dev[:2]
         self.S_plus = jax.device_put(S_plus, repl)
         self.S_minus = jax.device_put(S_minus, repl)
+        # genome arrays, passed as shard_map ARGUMENTS (replicated):
+        # pallas = 4-bit packed words (scoring + traceback kernels);
+        # jnp = plain codes
         if align_impl == "pallas":
             gw = nw_pallas.pad_genome_words(genome.codes, cfg.window_width())
-            self.g_arr = jax.device_put(gw, repl)
+            self._g_args = (jax.device_put(gw, repl),)
         else:
-            self.g_arr = jax.device_put(genome.codes, repl)
+            self._g_args = (jax.device_put(genome.codes, repl),)
         self._interpret = jax.default_backend() == "cpu"
 
         self.finish_impl = finish_impl
@@ -106,7 +109,7 @@ class DistMapper:
                              "'pallas'")
         idx_specs = (P(INDEX_AXIS), P(INDEX_AXIS)) * len(tables)
         in_specs = (P(READS_AXIS), P(READS_AXIS), P(READS_AXIS),
-                    *idx_specs, P(), P(), P())
+                    *idx_specs, P(), P(), *((P(),) * len(self._g_args)))
         out_specs = (P(READS_AXIS), P(READS_AXIS), P(READS_AXIS),
                      P(READS_AXIS))
         fn = jax.shard_map(self._shard_fn, mesh=mesh, in_specs=in_specs,
@@ -123,14 +126,23 @@ class DistMapper:
         self._step_tb = jax.jit(fn_tb)
 
     # ------------------------------------------------------------------
-    def _dp_scores(self, emis2, cands, lens2):
-        """Local DP over this device's candidate slots."""
+    def _dp_scores(self, emis2, cands, lens2, g_args):
+        """Local DP over this device's candidate slots.  ``g_args`` are
+        this shard's (replicated) genome arrays, threaded as arguments —
+        never captured at trace time."""
         cfg = self.cfg
         open_q, ext_q = cfg.gap_open_q(), cfg.gap_extend_q()
         if self.align_impl == "pallas":
             emis2_t = jnp.transpose(emis2, (0, 2, 1))
+            if cfg.band() is not None:   # [FROZEN v3] banded kernel
+                return nw_pallas.nw_scores_banded(
+                    emis2_t, cands, lens2, g_args[0],
+                    L=cfg.max_read_len, W=cfg.window_width(),
+                    slack=cfg.gap_slack, boff=cfg.band()[0],
+                    open_q=open_q, ext_q=ext_q,
+                    interpret=self._interpret)
             return nw_pallas.nw_scores_pallas(
-                emis2_t, cands, lens2, self.g_arr_in,
+                emis2_t, cands, lens2, g_args[0],
                 L=cfg.max_read_len, W=cfg.window_width(),
                 slack=cfg.gap_slack, open_q=open_q, ext_q=ext_q,
                 interpret=self._interpret)
@@ -144,8 +156,9 @@ class DistMapper:
         def chunk_fn(cand_chunk):
             win = pipeline_mapper.windows_for(
                 jnp.where(cand_chunk == SENTINEL, 0, cand_chunk),
-                self.g_arr_in, cfg)
-            return nw_ref.nw_scores_multi(emis2, win, lens2, open_q, ext_q)
+                g_args[0], cfg)
+            return nw_ref.nw_scores_multi(emis2, win, lens2, open_q, ext_q,
+                                          band=self.cfg.band())
 
         scores = jax.lax.map(chunk_fn, cc)
         return jnp.transpose(scores, (1, 0, 2)).reshape(cands.shape)
@@ -177,18 +190,19 @@ class DistMapper:
 
     def _shard_fn_tb(self, codes, pwm_q, lens, *rest):
         from gnumap_tpu.pipeline.mapper import device_tb_tail
+        n_idx = 4 if self.bisulfite else 2
+        g_words = rest[n_idx + 2]
         cands, valid, scores, max_sc, emis2, lens2 = self._shard_core(
             codes, pwm_q, lens, *rest)
         return device_tb_tail(self.cfg, cands, valid, scores, max_sc,
-                              emis2, lens2, self.g_arr_in, self._interpret)
+                              emis2, lens2, g_words, self._interpret)
 
     def _shard_core(self, codes, pwm_q, lens, *rest):
         cfg = self.cfg
         S = self.S
         n_idx = 4 if self.bisulfite else 2
         idx_arrs = rest[:n_idx]
-        S_plus, S_minus, g_arr = rest[n_idx:]
-        self.g_arr_in = g_arr
+        S_plus, S_minus, *g_args = rest[n_idx:]
         codes2, emis2 = strand_expand(codes, pwm_q, lens, S_plus, S_minus)
         lens2 = jnp.concatenate([lens, lens], axis=0)
         max_sc = nw_ref.max_read_scores(emis2)
@@ -217,10 +231,10 @@ class DistMapper:
             s_idx = jax.lax.axis_index(INDEX_AXIS)
             Cs = cfg.max_candidates // S
             my = jax.lax.dynamic_slice_in_dim(cands, s_idx * Cs, Cs, axis=1)
-            sc = self._dp_scores(emis2, my, lens2)
+            sc = self._dp_scores(emis2, my, lens2, g_args)
             scores = jax.lax.all_gather(sc, INDEX_AXIS, axis=1, tiled=True)
         else:
-            scores = self._dp_scores(emis2, cands, lens2)
+            scores = self._dp_scores(emis2, cands, lens2, g_args)
         valid = cands != SENTINEL
         scores = jnp.where(valid, scores, NEG_INF)
         return cands, valid, scores, max_sc, emis2, lens2
@@ -230,7 +244,7 @@ class DistMapper:
         """Global batch (host-resident ok) -> global outputs.  The batch
         axis is sharded over "reads" by the jitted shard_map."""
         return self._step(codes, pwm_q, lens, *self._idx_dev,
-                          self.S_plus, self.S_minus, self.g_arr)
+                          self.S_plus, self.S_minus, *self._g_args)
 
     def _canonical_perm(self, B: int) -> np.ndarray:
         """shard_map stacks each shard's [+ block, - block]; build the
@@ -259,7 +273,7 @@ class DistMapper:
         t0 = _time.perf_counter()
         blob_all = np.asarray(self._step_tb(
             batch.codes, batch.pwm_q, batch.lens, *self._idx_dev,
-            self.S_plus, self.S_minus, self.g_arr))
+            self.S_plus, self.S_minus, *self._g_args))
         t1 = _time.perf_counter()
         assert blob_all.shape[0] == R * blen
         out = [[] for _ in range(batch.n)]

@@ -32,10 +32,14 @@ extern "C" {
 // Fills cigar_out with an RLE CIGAR string (M/I/D ops).  Returns the
 // alignment score; *pos_in_window = first consumed genome column - 1,
 // *ref_len = genome bases consumed.  Semantics frozen by oracle.nw_align.
+// band_off/band_w: [FROZEN v3] DP band (config.MapperConfig.band) — for
+// row i, columns j >= 1 outside [i - band_off, i - band_off + band_w - 1]
+// are exactly neg_inf.  band_w <= 0 disables banding.
 int64_t nw_traceback(const int32_t* emis,   // [L][5] row-major
                      const int8_t* window,  // [W] codes 0..4
                      int32_t L, int32_t W,
                      int64_t open_q, int64_t ext_q, int64_t neg_inf,
+                     int32_t band_off, int32_t band_w,
                      char* cigar_out, int32_t cigar_cap,
                      int32_t* pos_in_window, int32_t* ref_len) {
     const int64_t stride = W + 1;
@@ -70,15 +74,20 @@ int64_t nw_traceback(const int32_t* emis,   // [L][5] row-major
         Iyi[0] = neg_inf;
         // prefix-max running value pm = max_{k<=j-1}(M[i][k] + k*ext)
         int64_t pm = Mi[0];     // k = 0 term (j will start at 1)
+        const int64_t blo = (int64_t)i - band_off;
+        const int64_t bhi = blo + band_w - 1;
         for (int64_t j = 1; j <= W; ++j) {
+            const bool off_band = band_w > 0 && (j < blo || j > bhi);
             const int64_t e = erow[window[j - 1]];
             int64_t m = e + max3(Mp[j - 1], Ixp[j - 1], Iyp[j - 1]);
-            Mi[j] = m > neg_inf ? m : neg_inf;
+            // M masked before the pm update so the Iy chain only sources
+            // in-band columns (mirrors the banded oracle/kernel order)
+            Mi[j] = (off_band || m < neg_inf) ? neg_inf : m;
             int64_t ix = Mp[j] - open_q > Ixp[j] - ext_q ? Mp[j] - open_q
                                                          : Ixp[j] - ext_q;
-            Ixi[j] = ix > neg_inf ? ix : neg_inf;
+            Ixi[j] = (off_band || ix < neg_inf) ? neg_inf : ix;
             int64_t iy = pm - open_q - (j - 1) * ext_q;
-            Iyi[j] = iy > neg_inf ? iy : neg_inf;
+            Iyi[j] = (off_band || iy < neg_inf) ? neg_inf : iy;
             const int64_t cand = Mi[j] + j * ext_q;
             if (cand > pm) pm = cand;
         }
@@ -174,6 +183,7 @@ namespace {
 // core DP+traceback shared by nw_traceback and the batch path
 int64_t nw_core(const int32_t* emis, const int8_t* window, int32_t L,
                 int32_t W, int64_t open_q, int64_t ext_q, int64_t neg_inf,
+                int32_t band_off, int32_t band_w,
                 char* cigar_out, int32_t cigar_cap, int32_t* pos_in_window,
                 int32_t* ref_len);
 
@@ -191,6 +201,7 @@ void finish_hits(const int32_t* pwm,      // [B][Lmax][4]
                  const int32_t* cand, int32_t H,
                  int32_t Lmax, int32_t W, int32_t slack,
                  int64_t open_q, int64_t ext_q, int64_t neg_inf,
+                 int32_t band_off, int32_t band_w,
                  int64_t* out_score, int32_t* out_pos,
                  int32_t* out_ref_len, char* out_cigar,
                  int32_t cigar_stride, int32_t n_threads) {
@@ -229,7 +240,7 @@ void finish_hits(const int32_t* pwm,      // [B][Lmax][4]
             }
             int32_t piw = 0, rl = 0;
             out_score[h] = nw_core(emis.data(), window.data(), L, W,
-                                   open_q, ext_q, neg_inf,
+                                   open_q, ext_q, neg_inf, band_off, band_w,
                                    out_cigar + (int64_t)h * cigar_stride,
                                    cigar_stride, &piw, &rl);
             out_pos[h] = (int32_t)(ws + piw);
@@ -248,9 +259,11 @@ namespace {
 
 int64_t nw_core(const int32_t* emis, const int8_t* window, int32_t L,
                 int32_t W, int64_t open_q, int64_t ext_q, int64_t neg_inf,
+                int32_t band_off, int32_t band_w,
                 char* cigar_out, int32_t cigar_cap, int32_t* pos_in_window,
                 int32_t* ref_len) {
     return nw_traceback(emis, window, L, W, open_q, ext_q, neg_inf,
+                        band_off, band_w,
                         cigar_out, cigar_cap, pos_in_window, ref_len);
 }
 

@@ -63,6 +63,7 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32,
             ctypes.c_char_p, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
         lib.emission_int.restype = None
@@ -78,6 +79,7 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int32,           # cand, H
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,  # Lmax, W, slack
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # open, ext, neg
+            ctypes.c_int32, ctypes.c_int32,             # band_off, band_w
             ctypes.c_void_p, ctypes.c_void_p,          # out score, pos
             ctypes.c_void_p, ctypes.c_void_p,          # out ref_len, cigar
             ctypes.c_int32, ctypes.c_int32]            # stride, n_threads
@@ -104,19 +106,21 @@ def available() -> bool:
 
 
 def nw_traceback(emis: np.ndarray, window: np.ndarray, open_q: int,
-                 ext_q: int, neg_inf: int):
+                 ext_q: int, neg_inf: int, band=None):
     """(score, pos_in_window, cigar, ref_len) — bit-identical to
-    oracle.nw_align(traceback=True)."""
+    oracle.nw_align(traceback=True).  ``band`` = MapperConfig.band()
+    ([FROZEN v3]) or None."""
     lib = get_lib()
     emis = np.ascontiguousarray(emis, dtype=np.int32)
     window = np.ascontiguousarray(window, dtype=np.int8)
     L, W = emis.shape[0], window.shape[0]
+    boff, bw = band if band is not None else (0, 0)
     buf = ctypes.create_string_buffer(4 * L + 64)
     pos = ctypes.c_int32()
     rl = ctypes.c_int32()
     score = lib.nw_traceback(
         emis.ctypes.data, window.ctypes.data, L, W,
-        open_q, ext_q, neg_inf, buf, len(buf), ctypes.byref(pos),
+        open_q, ext_q, neg_inf, boff, bw, buf, len(buf), ctypes.byref(pos),
         ctypes.byref(rl))
     return int(score), int(pos.value), buf.value.decode(), int(rl.value)
 
@@ -165,7 +169,7 @@ def finish_hits(pwm_q: np.ndarray, lens: np.ndarray, genome: np.ndarray,
                 S_plus: np.ndarray, S_minus: np.ndarray,
                 read_idx: np.ndarray, strand: np.ndarray,
                 cand: np.ndarray, Lmax: int, W: int, slack: int,
-                open_q: int, ext_q: int, neg_inf: int,
+                open_q: int, ext_q: int, neg_inf: int, band=None,
                 n_threads: int = 0):
     """Batched emission+window+traceback for H hits (worker threads).
     -> (scores int64[H], pos int32[H], ref_len int32[H], cigars list[str])
@@ -187,11 +191,12 @@ def finish_hits(pwm_q: np.ndarray, lens: np.ndarray, genome: np.ndarray,
     cig = np.zeros(H * CIGAR_STRIDE, np.int8)
     if n_threads <= 0:
         n_threads = max(1, min(8, _os.cpu_count() or 1))
+    boff, bw = band if band is not None else (0, 0)
     lib.finish_hits(
         pwm_q.ctypes.data, lens.ctypes.data, genome.ctypes.data,
         len(genome), Sp.ctypes.data, Sm.ctypes.data,
         read_idx.ctypes.data, strand.ctypes.data, cand.ctypes.data, H,
-        Lmax, W, slack, open_q, ext_q, neg_inf,
+        Lmax, W, slack, open_q, ext_q, neg_inf, boff, bw,
         score.ctypes.data, pos.ctypes.data, rl.ctypes.data,
         cig.ctypes.data, CIGAR_STRIDE, n_threads)
     raw = cig.tobytes()

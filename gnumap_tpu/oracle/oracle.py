@@ -138,6 +138,7 @@ def nw_align(emis: np.ndarray, window: np.ndarray, cfg: MapperConfig,
     L = emis.shape[0]
     W = len(window)
     open_q, ext_q = cfg.gap_open_q(), cfg.gap_extend_q()
+    band = cfg.band()
     M = np.full((L + 1, W + 1), NEG_INF, dtype=np.int64)
     Ix = np.full((L + 1, W + 1), NEG_INF, dtype=np.int64)
     Iy = np.full((L + 1, W + 1), NEG_INF, dtype=np.int64)
@@ -145,13 +146,25 @@ def nw_align(emis: np.ndarray, window: np.ndarray, cfg: MapperConfig,
     jj = np.arange(W + 1, dtype=np.int64)
     win = window.astype(np.int64)
     for i in range(1, L + 1):
+        # [FROZEN v3] band mask (config.MapperConfig.band): out-of-band
+        # cells are exactly NEG_INF.  M is masked BEFORE the in-row prefix
+        # max so the Iy chain only sources in-band columns — the order the
+        # TPU kernel's 64-lane segmented cummax realizes by construction.
+        if band is not None:
+            boff, bw = band
+            off_band = (jj[1:] < i - boff) | (jj[1:] > i - boff + bw - 1)
         e = emis[i - 1].astype(np.int64)[win]                 # (W,)
         prev_best = np.maximum(np.maximum(M[i - 1], Ix[i - 1]), Iy[i - 1])
         M[i, 1:] = np.maximum(e + prev_best[:-1], NEG_INF)
+        if band is not None:
+            M[i, 1:][off_band] = NEG_INF
         Ix[i, :] = np.maximum(
             np.maximum(M[i - 1] - open_q, Ix[i - 1] - ext_q), NEG_INF)
         pm = np.maximum.accumulate(M[i] + jj * ext_q)
         Iy[i, 1:] = np.maximum(pm[:-1] - open_q - (jj[1:] - 1) * ext_q, NEG_INF)
+        if band is not None:
+            Ix[i, 1:][off_band] = NEG_INF
+            Iy[i, 1:][off_band] = NEG_INF
     finals = np.maximum(M[L], Ix[L])
     score = int(finals.max())
     if not traceback:

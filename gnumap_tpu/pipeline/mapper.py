@@ -266,7 +266,7 @@ def device_tb_tail(cfg: MapperConfig, cands, valid, scores, max_sc,
             L=cfg.max_read_len, W=cfg.window_width(),
             slack=cfg.gap_slack, open_q=cfg.gap_open_q(),
             ext_q=cfg.gap_extend_q(), interpret=interpret,
-            sublanes=cfg.pallas_tb_sublanes)
+            sublanes=cfg.pallas_tb_sublanes, band=cfg.band())
     with jax.named_scope("indel_compact"):
         Lp = ops.shape[1]
         K = max(1, H // 8)
@@ -584,19 +584,28 @@ class TpuMapper:
                 order = jnp.argsort(n_val)
                 inv = jnp.argsort(order)
                 emis2_t = jnp.transpose(emis2, (0, 2, 1))[order]
-                scores = nw_pallas.nw_scores_pallas(
-                    emis2_t, cands[order], lens2[order], g_words,
-                    L=cfg.max_read_len, W=cfg.window_width(),
-                    slack=cfg.gap_slack, open_q=open_q, ext_q=ext_q,
-                    interpret=self._interpret, rpt=cfg.pallas_rpt,
-                    sublanes=cfg.pallas_sublanes)[inv]
+                if cfg.band() is not None:
+                    scores = nw_pallas.nw_scores_banded(
+                        emis2_t, cands[order], lens2[order], g_words,
+                        L=cfg.max_read_len, W=cfg.window_width(),
+                        slack=cfg.gap_slack, boff=cfg.band()[0],
+                        open_q=open_q, ext_q=ext_q,
+                        interpret=self._interpret,
+                        rpt=cfg.pallas_rpt)[inv]
+                else:
+                    scores = nw_pallas.nw_scores_pallas(
+                        emis2_t, cands[order], lens2[order], g_words,
+                        L=cfg.max_read_len, W=cfg.window_width(),
+                        slack=cfg.gap_slack, open_q=open_q, ext_q=ext_q,
+                        interpret=self._interpret, rpt=cfg.pallas_rpt,
+                        sublanes=cfg.pallas_sublanes)[inv]
         else:
             def chunk_fn(cand_chunk):
                 win = windows_for(jnp.where(cand_chunk == SENTINEL, 0,
                                             cand_chunk), g_codes,
                                   cfg)
                 return nw_ref.nw_scores_multi(emis2, win, lens2, open_q,
-                                              ext_q)
+                                              ext_q, band=cfg.band())
 
             scores = jax.lax.map(chunk_fn, cc)          # (nchunk, B2, ck)
             scores = jnp.transpose(scores, (1, 0, 2)).reshape(cands.shape)
@@ -948,7 +957,8 @@ def _traceback(emis_np, window, cfg):
     from gnumap_tpu.native import lib as native_lib
     if native_lib.available():
         return native_lib.nw_traceback(
-            emis_np, window, cfg.gap_open_q(), cfg.gap_extend_q(), NEG_INF)
+            emis_np, window, cfg.gap_open_q(), cfg.gap_extend_q(), NEG_INF,
+            band=cfg.band())
     return oracle.nw_align(emis_np, window, cfg, traceback=True)
 
 
@@ -1035,7 +1045,7 @@ def host_finish(genome: Genome, S_plus_np, S_minus_np, cfg: MapperConfig,
             batch.pwm_q, batch.lens, genome.codes, S_plus_np, S_minus_np,
             read_idx, strand, cand_arr, cfg.max_read_len,
             cfg.window_width(), cfg.gap_slack, cfg.gap_open_q(),
-            cfg.gap_extend_q(), NEG_INF)
+            cfg.gap_extend_q(), NEG_INF, band=cfg.band())
         # group per read, dedupe by (strand, pos), normalize weights
         per_read: Dict[int, Dict[Tuple[str, int], ReadHit]] = {}
         for h in range(len(read_idx)):

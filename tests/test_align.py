@@ -75,7 +75,8 @@ def test_nw_scores_matches_oracle_random():
         expect[p] = oracle.nw_align(e, w, cfg)
     got = np.asarray(nw_ref.nw_scores(
         emis, wins, np.full(P, L, np.int32),
-        open_q=cfg.gap_open_q(), ext_q=cfg.gap_extend_q()))
+        open_q=cfg.gap_open_q(), ext_q=cfg.gap_extend_q(),
+        band=cfg.band()))
     assert np.array_equal(got, expect)
 
 
@@ -96,7 +97,8 @@ def test_nw_scores_padding_invariance():
         expect[p] = oracle.nw_align(e, w, cfg)
     got = np.asarray(nw_ref.nw_scores(
         emis, wins, np.full(P, L, np.int32),
-        open_q=cfg.gap_open_q(), ext_q=cfg.gap_extend_q()))
+        open_q=cfg.gap_open_q(), ext_q=cfg.gap_extend_q(),
+        band=cfg.band()))
     assert np.array_equal(got, expect)
 
 
@@ -113,7 +115,8 @@ def test_nw_scores_multi_matches_pairs():
             wins[b, c] = rng.integers(0, 5, W)
     lens = np.full(B, L, np.int32)
     multi = np.asarray(nw_ref.nw_scores_multi(
-        emis, wins, lens, cfg.gap_open_q(), cfg.gap_extend_q()))
+        emis, wins, lens, cfg.gap_open_q(), cfg.gap_extend_q(),
+        band=cfg.band()))
     for b in range(B):
         for c in range(C):
             assert multi[b, c] == oracle.nw_align(emis[b], wins[b, c], cfg)
@@ -125,5 +128,6 @@ def test_zero_length_read_scores_zero():
     wins = np.zeros((2, 20), np.int32)
     got = np.asarray(nw_ref.nw_scores(
         emis, wins, np.zeros(2, np.int32),
-        open_q=cfg.gap_open_q(), ext_q=cfg.gap_extend_q()))
+        open_q=cfg.gap_open_q(), ext_q=cfg.gap_extend_q(),
+        band=cfg.band()))
     assert np.array_equal(got, [0, 0])

@@ -70,7 +70,7 @@ def _check(cfg, H, L, G, seed, interpret):
     ops, jfin = nw_pallas.nw_traceback_pallas(
         emis_t, cands, lens, gwords, L=L, W=W, slack=cfg.gap_slack,
         open_q=cfg.gap_open_q(), ext_q=cfg.gap_extend_q(),
-        interpret=interpret)
+        interpret=interpret, band=cfg.band())
     ops, jfin = np.asarray(ops), np.asarray(jfin)
     n_checked = n_indel = 0
     for h in range(H):

@@ -24,7 +24,7 @@ def test_nw_traceback_matches_oracle():
         emis = scoring.emission_int(pq, scoring.normal_matrix(cfg))
         window = rng.integers(0, 5, W).astype(np.int8)
         got = nl.nw_traceback(emis, window, cfg.gap_open_q(),
-                              cfg.gap_extend_q(), NEG_INF)
+                              cfg.gap_extend_q(), NEG_INF, band=cfg.band())
         exp = oracle.nw_align(emis, window, cfg, traceback=True)
         assert got == exp
 
@@ -37,7 +37,7 @@ def test_nw_traceback_indel_case():
     pq = pwm.pwm_from_calls(read, np.full(30, 40))
     emis = scoring.emission_int(pq, scoring.normal_matrix(cfg))
     got = nl.nw_traceback(emis, g, cfg.gap_open_q(), cfg.gap_extend_q(),
-                          NEG_INF)
+                          NEG_INF, band=cfg.band())
     exp = oracle.nw_align(emis, g, cfg, traceback=True)
     assert got == exp
     assert "D" in got[2]

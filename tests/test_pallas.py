@@ -113,3 +113,79 @@ def test_pallas_matches_oracle_interpret():
 def test_pallas_matches_oracle_interpret_bigger():
     _check_vs_oracle(MapperConfig(max_read_len=24), L=24, C=16, B2=10,
                      G=600, seed=11, interpret=True)
+
+
+# ---------------------------------------------------------------------------
+# [FROZEN v3] banded kernel (nw_scores_banded): in-kernel window DMA +
+# diagonal-band state, vs the banded oracle
+# ---------------------------------------------------------------------------
+
+def _check_banded_vs_oracle(cfg, L, C, B2, G, seed, interpret, rpt=8):
+    rng = np.random.default_rng(seed)
+    genome, emis, cands, lens, W = _setup(rng, B2, C, L, G, cfg)
+    gwords = nw_pallas.pad_genome_words(genome, W)
+    emis_t = np.ascontiguousarray(emis.transpose(0, 2, 1))
+    boff, _ = cfg.band()
+    got = np.asarray(nw_pallas.nw_scores_banded(
+        emis_t, cands, lens, gwords, L=L, W=W, slack=cfg.gap_slack,
+        boff=boff, open_q=cfg.gap_open_q(), ext_q=cfg.gap_extend_q(),
+        interpret=interpret, rpt=rpt))
+    for b in range(B2):
+        lb = int(lens[b])
+        for c in range(C):
+            if cands[b, c] == SENT:
+                assert got[b, c] == NEG_INF
+                continue
+            ws = int(cfg.window_start(int(cands[b, c])))
+            window = np.full(W, 4, np.int8)
+            lo, hi = max(ws, 0), min(ws + W, G)
+            if hi > lo:
+                window[lo - ws:hi - ws] = genome[lo:hi]
+            expect = oracle.nw_align(emis[b, :lb], window, cfg)
+            assert got[b, c] == expect, (b, c, got[b, c], expect)
+
+
+def test_banded_matches_oracle_interpret():
+    _check_banded_vs_oracle(MapperConfig(max_read_len=16), L=16, C=8, B2=4,
+                            G=200, seed=3, interpret=True)
+
+
+def test_banded_matches_oracle_interpret_long():
+    # L=104 exercises real band clipping (W=128 > band start spread)
+    _check_banded_vs_oracle(MapperConfig(max_read_len=104), L=104, C=4,
+                            B2=6, G=2500, seed=11, interpret=True)
+
+
+def test_banded_matches_nw_ref_banded():
+    # jnp path with band must agree with the kernel cell-for-cell
+    cfg = MapperConfig(max_read_len=48)
+    rng = np.random.default_rng(9)
+    genome, emis, cands, lens, W = _setup(rng, 10, 8, 48, 900, cfg)
+    gwords = nw_pallas.pad_genome_words(genome, W)
+    emis_t = np.ascontiguousarray(emis.transpose(0, 2, 1))
+    got = np.asarray(nw_pallas.nw_scores_banded(
+        emis_t, cands, lens, gwords, L=48, W=W, slack=cfg.gap_slack,
+        boff=cfg.band()[0], open_q=cfg.gap_open_q(),
+        ext_q=cfg.gap_extend_q(), interpret=True, rpt=8))
+    from gnumap_tpu.align import nw_ref
+    wins = np.zeros((10, 8, W), np.int32)
+    for b in range(10):
+        for c in range(8):
+            cd = 0 if cands[b, c] == SENT else int(cands[b, c])
+            ws = int(cfg.window_start(cd))
+            window = np.full(W, 4, np.int8)
+            lo, hi = max(ws, 0), min(ws + W, len(genome))
+            if hi > lo:
+                window[lo - ws:hi - ws] = genome[lo:hi]
+            wins[b, c] = window
+    ref = np.asarray(nw_ref.nw_scores_multi(
+        emis, wins, lens, cfg.gap_open_q(), cfg.gap_extend_q(),
+        band=cfg.band()))
+    valid = cands != SENT
+    assert np.array_equal(got[valid], ref[valid])
+
+
+@pytest.mark.skipif(not on_tpu, reason="requires TPU (kernel compile)")
+def test_banded_matches_oracle_tpu():
+    _check_banded_vs_oracle(MapperConfig(max_read_len=32), L=32, C=16,
+                            B2=12, G=800, seed=42, interpret=False)

@@ -47,14 +47,14 @@ def test_traceback_state_preference():
 
 
 def test_candidate_order_and_cap():
-    cfg = MapperConfig(mer_size=4, seed_jump=1, max_candidates=3,
+    cfg = MapperConfig(mer_size=4, seed_jump=1, max_candidates=4,
                        max_hits_per_seed=64, max_read_len=12)
     g = "ACGTACGTACGT" * 8  # highly repetitive
     gen = oracle.OracleGenome.from_contigs([("g", g)])
     idx = oracle.build_oracle_index(gen, cfg)
     codes = packing.encode("ACGTACGTACGT")
     cands = oracle.candidates_for(codes, idx, cfg)
-    assert len(cands) == 3
+    assert len(cands) == 4
     assert cands == sorted(cands)           # ascending, first C kept
 
 
