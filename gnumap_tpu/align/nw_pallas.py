@@ -352,7 +352,7 @@ def _nw_band_kernel(meta_ref, rows_ref, win_ref, out_ref,
 def nw_scores_banded(emis_t: jax.Array, cands: jax.Array, lens: jax.Array,
                      genome_words: jax.Array, *, L: int, W: int, slack: int,
                      boff: int, open_q: int, ext_q: int,
-                     interpret: bool = False, rpt: int = 64) -> jax.Array:
+                     interpret: bool = False, rpt: int = 128) -> jax.Array:
     """Banded scores for every (read-strand, candidate) pair ([FROZEN v3]).
 
     emis_t:       int32[B2, 5, L]  emission tables, code-major

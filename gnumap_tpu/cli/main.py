@@ -78,6 +78,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="stream-state checkpoint file; resumes if present")
     p.add_argument("--checkpoint-every", type=int, default=16,
                    help="checkpoint every N batches")
+    p.add_argument("--fail-after", type=int, default=0,
+                   help="fault injection: crash after N batches (CI "
+                        "kill/restart recovery tests, SURVEY.md §5)")
     p.add_argument("-c", "--read-shards", type=int, default=0,
                    help="data-parallel read shards over devices "
                         "(0 = single-device; ref -c threads / mpirun -np)")
@@ -182,11 +185,11 @@ def main(argv=None) -> int:
                          "--save-index is given")
     multi = args.num_hosts > 1
     if multi:
-        if args.checkpoint:
-            raise SystemExit("--checkpoint is per-process; not supported "
-                             "with --num-hosts yet")
         from gnumap_tpu.dist import multihost
         multihost.initialize(args.coordinator, args.num_hosts, args.host_id)
+        if args.checkpoint:
+            # per-host stream state; every host resumes its own partition
+            args.checkpoint = f"{args.checkpoint}.h{args.host_id}" 
     cfg = config_from_args(args)
     from gnumap_tpu.dist.segments import SEG_LIMIT
     n_segments = 0 if args.segments == "auto" else int(args.segments)
@@ -265,7 +268,9 @@ def main(argv=None) -> int:
         # global batch index at host 0 — the reference's rank-0 gather)
         import io as _io
         body_path, _ = multihost.shard_paths(args.output, args.host_id)
-        sam_bin = open(body_path, "wb")
+        resuming = bool(args.checkpoint and os.path.exists(args.checkpoint)
+                        and os.path.exists(body_path))
+        sam_bin = open(body_path, "r+b" if resuming else "wb")
         sam_f = _io.TextIOWrapper(sam_bin, encoding="ascii", newline="")
     elif cfg.sam_out:
         resuming = bool(args.checkpoint and os.path.exists(args.checkpoint))
@@ -290,23 +295,67 @@ def main(argv=None) -> int:
     if multi and sam_bin is not None:
         _prev = [0]
         _k = [0]
+        _, idx_path = multihost.shard_paths(args.output, args.host_id)
+        if args.checkpoint and os.path.exists(args.checkpoint):
+            # resume: keep the spans of already-checkpointed batches
+            from gnumap_tpu.pipeline import checkpoint as _ckpt
+            st = _ckpt.load(args.checkpoint)
+            if st is not None and os.path.exists(idx_path):
+                kept = open(idx_path).read().splitlines()[:st.batches_done]
+                for line in kept:
+                    spans.append(tuple(json.loads(line)))
+                _k[0] = len(kept)
+                _prev[0] = st.sam_offset
 
         def _span_cb(idx, s):
             sam_f.flush()
             end = sam_bin.tell()
-            g = _k[0] * args.num_hosts + args.host_id
-            spans.append((g, _prev[0], end))
+            if byte_range_mode:
+                key = (args.host_id, _k[0])      # host-contiguous reads
+            else:
+                key = (_k[0] * args.num_hosts + args.host_id, 0)  # strided
+            spans.append((key[0], key[1], _prev[0], end))
             _prev[0] = end
             _k[0] += 1
+            if args.checkpoint:
+                multihost.write_shard_index(idx_path, spans)
         callbacks.append(_span_cb)
+    if args.fail_after:
+        def _fail_cb(idx, s):
+            if idx - (_resume_base or 0) >= args.fail_after:
+                print(json.dumps({"event": "fault_injected",
+                                  "batch": idx}), file=sys.stderr)
+                os._exit(3)
+        _resume_base = 0
+        callbacks.append(_fail_cb)
     cb = None
     if callbacks:
         def cb(idx, s):
             for c in callbacks:
                 c(idx, s)
-    batches = batch_stream(args.reads, cfg, args.adaptor)
-    if multi:
-        batches = multihost.strided(batches, args.num_hosts, args.host_id)
+    # multi-host read partition: byte ranges for a plain single FASTQ
+    # (each host parses only ~1/R of the file); batch stride otherwise
+    byte_range_mode = (
+        multi and len(args.reads) == 1
+        and not args.reads[0].endswith(("_prb.txt", ".prb", "_int.txt",
+                                        ".int", ".fa", ".fasta", ".gz")))
+    if byte_range_mode:
+        lo, hi = multihost.fastq_ranges(args.reads[0],
+                                        args.num_hosts)[args.host_id]
+        from gnumap_tpu.core import packing as _packing
+        ad = _packing.encode(args.adaptor) if args.adaptor else None
+
+        def _range_batches():
+            for bb in io_fastq.batch_reads_native(args.reads[0], cfg,
+                                                  start=lo, stop=hi):
+                yield (io_fastq.trim_adaptor_batch(bb, ad)
+                       if ad is not None else bb)
+        batches = _range_batches()
+    else:
+        batches = batch_stream(args.reads, cfg, args.adaptor)
+        if multi:
+            batches = multihost.strided(batches, args.num_hosts,
+                                        args.host_id)
     t1 = time.perf_counter()
     res = pl.map_stream(
         m, batches,
@@ -319,7 +368,8 @@ def main(argv=None) -> int:
         # cross-host merge: coverage/tallies by deterministic bit-exact
         # all-gather + host-ordered sum (the MPI_Reduce analog); SAM by
         # rank-0 interleave of per-batch shard chunks
-        res.coverage = multihost.allreduce_f64(res.coverage)
+        if res.coverage is not None:
+            res.coverage = multihost.allreduce_f64(res.coverage)
         if res.tallies is not None:
             res.tallies = multihost.allreduce_f64(res.tallies)
         if sam_f:

@@ -83,6 +83,9 @@ class MapperConfig:
                                  # (x candidate slots = pallas_sublanes)
     pallas_tb_sublanes: int = 128  # traceback-kernel tile (bounded by the
                                    # (Lp, S, Wp) int8 direction scratch VMEM)
+    pallas_band_rows: int = 128    # banded-kernel reads per tile (x 2
+                                   # candidate segments; 128 measured best
+                                   # on v5e — 256 exceeds compile limits)
 
     # --- parallelism (reference: -c threads, MPI ranks) ---
     read_shards: int = 1         # mesh axis "reads" (data parallelism)

@@ -8,16 +8,21 @@ TPU-native re-design:
 
   * process groups come from ``jax.distributed.initialize()`` (the
     coordination service; Gloo/DCN between hosts, ICI within a slice);
-  * reads partition by BATCH stride: host h maps global batches
-    h, h + R, h + 2R, ... — no read-file splitting step, every host streams
-    the same files and keeps only its stride (the per-host read-file-offset
-    scheme of VERDICT.md next-#4);
-  * the coverage/tally merge is an XLA ``all_gather`` of the float64 BIT
-    PATTERN (uint32 view — no arithmetic on the wire) followed by a
-    host-ordered summation at every host: bit-reproducible regardless of
-    reduction topology, and byte-identical to a single-process run whenever
-    the per-position weight sums are exactly representable (the
-    deterministic MPI_Reduce analog);
+  * reads partition by FILE BYTE RANGE for plain single-FASTQ input: host
+    h parses only bytes [h/R, (h+1)/R) of the file (record-aligned by
+    fastq_ranges), so per-host parse cost is size/R — the reference's MPI
+    read partitioning without a splitting step.  Multi-file or prb/int
+    inputs fall back to BATCH-stride partitioning (host h keeps global
+    batches h, h+R, ...), which parses everything everywhere but needs no
+    byte math;
+  * the coverage/tally merge is a CHUNKED XLA ``all_gather`` of the float64
+    BIT PATTERN (uint32 view — no arithmetic on the wire) followed by a
+    host-ordered summation per chunk at every host: bit-reproducible
+    regardless of reduction topology, peak extra RSS bounded by
+    R x chunk (not R x genome — VERDICT.md round-2 missing #4), and
+    byte-identical to a single-process run whenever the per-position
+    weight sums are exactly representable (the deterministic MPI_Reduce
+    analog);
   * SAM shards are written per host with per-batch byte offsets and merged
     by GLOBAL batch index at host 0 over the shared filesystem (the
     reference's per-thread-buffer merge, rank-0 gather).
@@ -49,22 +54,70 @@ def strided(batches: Iterable, num_hosts: int, host_id: int) -> Iterator:
             yield b
 
 
-def allreduce_f64(local: np.ndarray) -> np.ndarray:
+def allreduce_f64(local: np.ndarray,
+                  chunk_elems: int = 8 << 20) -> np.ndarray:
     """Deterministic cross-host float64 sum (the MPI_Reduce analog).
 
-    all_gather of the uint32 bit view (exact), then an explicitly
-    host-ordered summation — every host computes the identical result.
-    """
+    Chunked all_gather of the uint32 bit view (exact), then an explicitly
+    host-ordered summation per chunk — every host computes the identical
+    result, and peak transient memory is R x chunk (64 MiB per peer at
+    the default chunk), independent of array size.  Chunking cannot change
+    any bit: each element is still summed host 0..R-1 in order."""
     from jax.experimental import multihost_utils
     shape = local.shape
-    bits = np.ascontiguousarray(local, dtype=np.float64).reshape(-1)
-    bits = bits.view(np.uint32)[None]
-    g = np.asarray(multihost_utils.process_allgather(bits))
-    parts = np.ascontiguousarray(g.reshape(g.shape[0], -1)).view(np.float64)
-    out = parts[0].copy()
-    for r in range(1, parts.shape[0]):
-        out += parts[r]
+    flat = np.ascontiguousarray(local, dtype=np.float64).reshape(-1)
+    out = np.empty_like(flat)
+    for lo in range(0, max(flat.size, 1), chunk_elems):
+        part = flat[lo:lo + chunk_elems]
+        if part.size == 0:
+            break
+        bits = part.view(np.uint32)[None]
+        g = np.asarray(multihost_utils.process_allgather(bits))
+        parts = np.ascontiguousarray(
+            g.reshape(g.shape[0], -1)).view(np.float64)
+        acc = parts[0].copy()
+        for r in range(1, parts.shape[0]):
+            acc += parts[r]
+        out[lo:lo + chunk_elems] = acc
     return out.reshape(shape)
+
+
+def _next_record_start(f, off: int, limit: int = 1 << 20) -> int:
+    """Byte offset of the first FASTQ record starting at or after ``off``.
+
+    A record start is a line beginning with '@' whose line+2 begins with
+    '+' (quality lines that begin with '@' fail that check because two
+    lines later is the NEXT record's sequence line, never '+')."""
+    f.seek(off)
+    win = f.read(limit)
+    lines = win.split(b"\n")
+    # byte offset of each line start within the window
+    pos = 0
+    starts = []
+    for ln in lines:
+        starts.append(pos)
+        pos += len(ln) + 1
+    first = 0 if off == 0 else 1          # skip the partial first line
+    for i in range(first, len(lines) - 2):
+        if lines[i].startswith(b"@") and lines[i + 2].startswith(b"+"):
+            return off + starts[i]
+    return off + len(win)                  # no record in window (EOF tail)
+
+
+def fastq_ranges(path: str, num_hosts: int) -> List[Tuple[int, int]]:
+    """Record-aligned byte ranges partitioning one FASTQ file across hosts.
+
+    Every byte belongs to exactly one host (all hosts compute the same
+    boundaries), and host ranges are contiguous in file order, so the
+    host-major merge reproduces the single-process read order."""
+    size = os.path.getsize(path)
+    cuts = [0]
+    with open(path, "rb") as f:
+        for h in range(1, num_hosts):
+            cuts.append(min(size, _next_record_start(
+                f, h * size // num_hosts)))
+    cuts.append(size)
+    return [(cuts[h], cuts[h + 1]) for h in range(num_hosts)]
 
 
 def barrier(name: str) -> None:
@@ -77,31 +130,33 @@ def shard_paths(output: str, host_id: int) -> Tuple[str, str]:
             f"{output}.sam.host{host_id}.idx")
 
 
-def write_shard_index(idx_path: str, spans: List[Tuple[int, int, int]]
-                      ) -> None:
-    """spans: (global_batch, byte_start, byte_end) per mapped batch."""
+def write_shard_index(idx_path: str,
+                      spans: List[Tuple[int, int, int, int]]) -> None:
+    """spans: (order_major, order_minor, byte_start, byte_end) per batch.
+    Stride partitioning orders by (global_batch=k*R+h,); byte-range
+    partitioning by (host, local_batch) — both encoded as (major, minor)."""
     with open(idx_path, "w") as f:
         for row in spans:
             f.write(json.dumps(row) + "\n")
 
 
 def merge_sam_shards(output: str, num_hosts: int, header: str) -> None:
-    """Host-0 merge: interleave per-batch shard chunks by GLOBAL batch
-    index, producing the same record order as a single-process run."""
-    chunks = []   # (global_batch, host, start, end)
+    """Host-0 merge: interleave per-batch shard chunks by their global
+    order key, producing the same record order as a single-process run."""
+    chunks = []   # (major, minor, host, start, end)
     for h in range(num_hosts):
         body, idx = shard_paths(output, h)
         with open(idx) as f:
             for line in f:
-                g, s, e = json.loads(line)
-                chunks.append((g, h, s, e))
+                maj, mino, s, e = json.loads(line)
+                chunks.append((maj, mino, h, s, e))
     chunks.sort()
     handles = [open(shard_paths(output, h)[0], "rb")
                for h in range(num_hosts)]
     try:
         with open(output + ".sam", "wb") as out:
             out.write(header.encode())
-            for g, h, s, e in chunks:
+            for maj, mino, h, s, e in chunks:
                 handles[h].seek(s)
                 out.write(handles[h].read(e - s))
     finally:

@@ -53,9 +53,17 @@ class ReadRecord:
     quals: np.ndarray        # int16[L] Phred values (for SAM round-trip)
 
 
-def iter_fastq(path: str, cfg: MapperConfig) -> Iterator[ReadRecord]:
+def iter_fastq(path: str, cfg: MapperConfig, start: int = 0,
+               stop: "int | None" = None) -> Iterator[ReadRecord]:
+    """Parse FASTQ records; with (start, stop) only the RECORD-ALIGNED byte
+    range [start, stop) — the multi-host byte partition
+    (dist.multihost.fastq_ranges)."""
     with open(path) as f:
+        if start:
+            f.seek(start)
         while True:
+            if stop is not None and f.tell() >= stop:
+                return
             hdr = f.readline()
             if not hdr:
                 return
@@ -288,13 +296,15 @@ def batch_reads(reads: Iterator[ReadRecord], cfg: MapperConfig
                        n_trunc, L)
 
 
-def batch_reads_native(path: str, cfg: MapperConfig):
+def batch_reads_native(path: str, cfg: MapperConfig, start: int = 0,
+                       stop: "int | None" = None):
     """Native (C++) FASTQ fast path: chunked parse straight into fixed-shape
     batches; falls back to the Python parser when the lib is unavailable.
-    Reference SeqManager analog (SURVEY.md §1 L2)."""
+    (start, stop) restrict to a record-aligned byte range, the multi-host
+    byte partition.  Reference SeqManager analog (SURVEY.md §1 L2)."""
     from gnumap_tpu.native import lib as native_lib
     if not native_lib.available():
-        yield from batch_reads(iter_fastq(path, cfg), cfg)
+        yield from batch_reads(iter_fastq(path, cfg, start, stop), cfg)
         return
     B, L = cfg.batch_size, cfg.max_read_len
     CHUNK = 8 << 20
@@ -309,8 +319,14 @@ def batch_reads_native(path: str, cfg: MapperConfig):
     eof = False
     n_trunc = 0
     with open(path, "rb") as f:
+        if start:
+            f.seek(start)
+        remaining = None if stop is None else stop - start
         while True:
-            data = f.read(CHUNK)
+            want = CHUNK if remaining is None else min(CHUNK, remaining)
+            data = f.read(want) if want else b""
+            if remaining is not None:
+                remaining -= len(data)
             eof = not data
             chunk = tail + data
             if not chunk:

@@ -268,3 +268,70 @@ int64_t nw_core(const int32_t* emis, const int8_t* window, int32_t L,
 }
 
 }  // namespace
+
+// ---------------------------------------------------------------------------
+// Ordered float64 coverage / SNP-tally scatter (GNUMAP-SNP, SURVEY.md §2).
+// Bit-identical to the NumPy np.add.at path in pipeline.mapper
+// (_scatter_coverage/_scatter_tallies): same hit order, same doubles, same
+// skip-of-out-of-range (adding +0.0 is an IEEE identity) — at memory speed
+// instead of np.ufunc.at speed (~100x).
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+void scatter_coverage(const int64_t* pos, const int64_t* rl,
+                      const double* w, int64_t H,
+                      double* cov, int64_t G) {
+    for (int64_t h = 0; h < H; ++h) {
+        const double wh = w[h];
+        int64_t lo = pos[h], hi = pos[h] + rl[h];
+        if (lo < 0) lo = 0;
+        if (hi > G) hi = G;
+        for (int64_t j = lo; j < hi; ++j) cov[j] += wh;
+    }
+}
+
+// cigars: H zero-terminated strings at cigar_stride bytes; empty string =
+// pure match of lens[b] bases.  pwm: [B][Lmax][4] int32; minus hits use the
+// reverse-complemented PWM rows of [0, len).
+void scatter_tallies(const int32_t* pwm, const int32_t* lens, int32_t Lmax,
+                     const int32_t* b_idx, const int8_t* minus,
+                     const int64_t* pos, const double* w, int64_t H,
+                     const char* cigars, int32_t cigar_stride,
+                     double* tallies, int64_t G, double pwm_scale) {
+    for (int64_t h = 0; h < H; ++h) {
+        const int32_t b = b_idx[h];
+        const int32_t L = lens[b];
+        const int32_t* p = pwm + (int64_t)b * Lmax * 4;
+        const bool mn = minus[h] != 0;
+        const double wh = w[h];
+        const char* cg = cigars + (int64_t)h * cigar_stride;
+        int64_t gp = pos[h];
+        int32_t i = 0;
+        char pure[16];
+        if (!*cg) { snprintf(pure, sizeof pure, "%dM", L); cg = pure; }
+        while (*cg) {
+            int32_t num = 0;
+            while (*cg >= '0' && *cg <= '9') num = num * 10 + (*cg++ - '0');
+            const char op = *cg++;
+            if (op == 'M') {
+                for (int32_t k = 0; k < num; ++k, ++gp, ++i) {
+                    if (gp < 0 || gp >= G) continue;
+                    double* t = tallies + gp * 4;
+                    for (int32_t base = 0; base < 4; ++base) {
+                        const int32_t pv = mn
+                            ? p[(int64_t)(L - 1 - i) * 4 + (3 - base)]
+                            : p[(int64_t)i * 4 + base];
+                        t[base] += (double)pv / pwm_scale * wh;
+                    }
+                }
+            } else if (op == 'D') {
+                gp += num;
+            } else if (op == 'I') {
+                i += num;
+            }
+        }
+    }
+}
+
+}  // extern "C"

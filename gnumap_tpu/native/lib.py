@@ -90,6 +90,17 @@ def get_lib():
         lib.suffix_array_sais.restype = None
         lib.suffix_array_sais.argtypes = [
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p]
+        lib.scatter_coverage.restype = None
+        lib.scatter_coverage.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
+        lib.scatter_tallies.restype = None
+        lib.scatter_tallies.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_double]
         lib.parse_fastq_chunk.restype = ctypes.c_int32
         lib.parse_fastq_chunk.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
@@ -227,3 +238,46 @@ def build_csr_index(codes: np.ndarray, m: int):
     n = lib.build_csr_index(codes.ctypes.data, len(codes), m,
                             bucket_start.ctypes.data, positions.ctypes.data)
     return bucket_start, positions[:n].copy()
+
+
+def scatter_coverage(coverage: np.ndarray, pos: np.ndarray, rl: np.ndarray,
+                     w: np.ndarray) -> None:
+    """Ordered in-place coverage scatter — bit-identical to the NumPy
+    np.add.at path (pipeline.mapper._scatter_coverage)."""
+    lib = get_lib()
+    pos = np.ascontiguousarray(pos, np.int64)
+    rl = np.ascontiguousarray(rl, np.int64)
+    w = np.ascontiguousarray(w, np.float64)
+    assert coverage.dtype == np.float64 and coverage.flags.c_contiguous
+    lib.scatter_coverage(pos.ctypes.data, rl.ctypes.data, w.ctypes.data,
+                         len(pos), coverage.ctypes.data, coverage.shape[0])
+
+
+def scatter_tallies(tallies: np.ndarray, pwm_q: np.ndarray,
+                    lens: np.ndarray, b_idx: np.ndarray, minus: np.ndarray,
+                    pos: np.ndarray, w: np.ndarray, cigars,
+                    pwm_scale: float) -> None:
+    """Ordered in-place SNP tally scatter (per-base fractional A/C/G/T).
+    ``cigars``: list of str, "" = pure match of the read's full length.
+    Bit-identical to pipeline.mapper._scatter_tallies."""
+    lib = get_lib()
+    pwm_q = np.ascontiguousarray(pwm_q, np.int32)
+    lens = np.ascontiguousarray(lens, np.int32)
+    b_idx = np.ascontiguousarray(b_idx, np.int32)
+    minus = np.ascontiguousarray(minus, np.int8)
+    pos = np.ascontiguousarray(pos, np.int64)
+    w = np.ascontiguousarray(w, np.float64)
+    stride = max(8, max((len(c) for c in cigars), default=0) + 1)
+    cbuf = np.zeros(len(cigars) * stride, np.int8)
+    view = cbuf.view(np.uint8)
+    for h, c in enumerate(cigars):
+        if c:
+            enc = c.encode()
+            view[h * stride:h * stride + len(enc)] = np.frombuffer(enc,
+                                                                   np.uint8)
+    assert tallies.dtype == np.float64 and tallies.flags.c_contiguous
+    lib.scatter_tallies(
+        pwm_q.ctypes.data, lens.ctypes.data, pwm_q.shape[1],
+        b_idx.ctypes.data, minus.ctypes.data, pos.ctypes.data,
+        w.ctypes.data, len(pos), cbuf.ctypes.data, stride,
+        tallies.ctypes.data, tallies.shape[0], float(pwm_scale))

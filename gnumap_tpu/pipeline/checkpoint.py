@@ -26,7 +26,7 @@ from gnumap_tpu.pipeline.mapper import BatchStats
 @dataclasses.dataclass
 class StreamState:
     batches_done: int
-    coverage: np.ndarray
+    coverage: Optional[np.ndarray]
     tallies: Optional[np.ndarray]
     stats: BatchStats
     sam_offset: int
@@ -34,7 +34,9 @@ class StreamState:
 
 def save(path: str, state: StreamState) -> None:
     tmp = path + ".tmp"
-    arrays = {"coverage": state.coverage}
+    arrays = {}
+    if state.coverage is not None:
+        arrays["coverage"] = state.coverage
     if state.tallies is not None:
         arrays["tallies"] = state.tallies
     meta = {"batches_done": state.batches_done,
@@ -52,7 +54,7 @@ def load(path: str) -> Optional[StreamState]:
     stats = BatchStats(**meta["stats"])
     return StreamState(
         batches_done=int(meta["batches_done"]),
-        coverage=z["coverage"],
+        coverage=z["coverage"] if "coverage" in z.files else None,
         tallies=z["tallies"] if "tallies" in z.files else None,
         stats=stats,
         sam_offset=int(meta["sam_offset"]))

@@ -591,7 +591,7 @@ class TpuMapper:
                         slack=cfg.gap_slack, boff=cfg.band()[0],
                         open_q=open_q, ext_q=ext_q,
                         interpret=self._interpret,
-                        rpt=cfg.pallas_rpt)[inv]
+                        rpt=cfg.pallas_band_rows)[inv]
                 else:
                     scores = nw_pallas.nw_scores_pallas(
                         emis2_t, cands[order], lens2[order], g_words,
@@ -733,7 +733,7 @@ def _window_np(g_codes: np.ndarray, start: int, width: int) -> np.ndarray:
 
 @dataclasses.dataclass
 class MapResult:
-    coverage: np.ndarray
+    coverage: Optional[np.ndarray]   # None when no output needs it
     tallies: Optional[np.ndarray]
     sam_lines: List[str]
     stats: BatchStats
@@ -752,7 +752,12 @@ def map_stream(mapper: TpuMapper, batches: Iterable[ReadBatch],
     from gnumap_tpu.pipeline import checkpoint as ckpt_mod
     cfg = mapper.cfg
     gen = mapper.genome
-    coverage = np.zeros(len(gen.codes), dtype=np.float64)
+    # coverage RSS must be independent of genome length when nothing
+    # consumes it (VERDICT.md round-2 next-#4): a SAM-only run of a 3 Gbp
+    # genome must not allocate a 24 GB float64 array
+    need_cov = cfg.sgr_out or cfg.sgrex_out or cfg.snp_mode
+    coverage = (np.zeros(len(gen.codes), dtype=np.float64)
+                if need_cov else None)
     tallies = (np.zeros((len(gen.codes), 4), dtype=np.float64)
                if cfg.snp_mode else None)
     sam_lines: List[str] = []
@@ -761,7 +766,8 @@ def map_stream(mapper: TpuMapper, batches: Iterable[ReadBatch],
     if checkpoint_path:
         state = ckpt_mod.load(checkpoint_path)
         if state is not None:
-            coverage = state.coverage.astype(np.float64).copy()
+            if state.coverage is not None and coverage is not None:
+                coverage = state.coverage.astype(np.float64).copy()
             if state.tallies is not None and tallies is not None:
                 tallies = state.tallies.astype(np.float64).copy()
             stats = state.stats
@@ -822,7 +828,8 @@ def map_stream(mapper: TpuMapper, batches: Iterable[ReadBatch],
                     emit(sam_io.unmapped_record(batch.names[b], seq, qual))
                 continue
             for hi, h in enumerate(hits):
-                cov_rows.append((h.pos, h.ref_len, h.weight))
+                if coverage is not None:
+                    cov_rows.append((h.pos, h.ref_len, h.weight))
                 if tallies is not None:
                     pure = h.cigar == f"{L}M"
                     tally_rows.append((b, h.strand == "-", h.pos, h.weight,
@@ -840,7 +847,8 @@ def map_stream(mapper: TpuMapper, batches: Iterable[ReadBatch],
                         batch.names[b], flag, gen.names[int(ci)], int(off),
                         sam_io.mapq_from_weight(h.weight), h.cigar,
                         oseq, oqual, h.score, h.weight))
-        _scatter_coverage(coverage, cov_rows)
+        if coverage is not None:
+            _scatter_coverage(coverage, cov_rows)
         if tallies is not None and tally_rows:
             _scatter_tallies(tallies, batch, tally_rows)
         batch_idx += 1
@@ -858,20 +866,23 @@ def map_stream(mapper: TpuMapper, batches: Iterable[ReadBatch],
 
 def _scatter_coverage(coverage: np.ndarray,
                       rows: List[Tuple[int, int, float]]) -> None:
-    """One ordered np.add.at over all of a batch's hits.
+    """One ordered scatter over all of a batch's hits.
 
-    np.ufunc.at applies duplicate indices sequentially in index order, so
-    building (position, weight) pairs in hit order makes this bit-identical
-    to the old per-hit ``coverage[pos:pos+ref_len] += w`` loop (pad slots
-    add exactly 0.0, which never changes a float64).  Replaces the per-hit
-    Python loop that VERDICT.md (missing #4) flagged as the 100M-read host
-    ceiling."""
+    Ordered adds in hit order make this bit-identical to the old per-hit
+    ``coverage[pos:pos+ref_len] += w`` loop (out-of-range/pad adds are
+    exactly +0.0, an IEEE identity).  Native C++ when available (~100x
+    np.add.at — VERDICT.md round-2 weak #3: the scatter was the SNP
+    map_stream host ceiling); NumPy ordered np.add.at fallback."""
     if not rows:
         return
     G = coverage.shape[0]
     pos = np.fromiter((r[0] for r in rows), np.int64, len(rows))
     rl = np.fromiter((r[1] for r in rows), np.int64, len(rows))
     w = np.fromiter((r[2] for r in rows), np.float64, len(rows))
+    from gnumap_tpu.native import lib as native_lib
+    if native_lib.available():
+        native_lib.scatter_coverage(coverage, pos, rl, w)
+        return
     ar = np.arange(int(rl.max()) if len(rl) else 0, dtype=np.int64)
     idx = pos[:, None] + ar[None, :]
     ok = (ar[None, :] < rl[:, None]) & (idx >= 0) & (idx < G)
@@ -896,6 +907,16 @@ def _scatter_tallies(tallies: np.ndarray, batch: ReadBatch,
     Lmax = pw.shape[1]
     ar = np.arange(Lmax, dtype=np.int64)
     lens = batch.lens.astype(np.int64)
+    from gnumap_tpu.native import lib as native_lib
+    if native_lib.available():
+        native_lib.scatter_tallies(
+            tallies, pw, batch.lens,
+            np.fromiter((r[0] for r in rows), np.int32, len(rows)),
+            np.fromiter((r[1] for r in rows), np.int8, len(rows)),
+            np.fromiter((r[2] for r in rows), np.int64, len(rows)),
+            np.fromiter((r[3] for r in rows), np.float64, len(rows)),
+            [r[4] or "" for r in rows], PWM_SCALE)
+        return
     if all(r[4] is None for r in rows):
         b_idx = np.fromiter((r[0] for r in rows), np.int64, len(rows))
         minus = np.fromiter((r[1] for r in rows), bool, len(rows))

@@ -73,3 +73,54 @@ def test_two_process_matches_single(tmp_path):
            (tmp_path / "multi.sgrex").read_text()
     # shard temporaries are cleaned up by the merge
     assert not list(tmp_path.glob("multi.sam.host*"))
+
+
+def test_two_process_checkpoint_restart(tmp_path):
+    """Kill both hosts mid-run (fault injection), restart from per-host
+    checkpoints: merged outputs byte-identical to the uninterrupted
+    2-process run (VERDICT.md round-2 next-#7, SURVEY.md §5 recovery)."""
+    g = sim.random_genome(9000, seed=81, repeat_frac=0.03)
+    sim.write_fasta(str(tmp_path / "g.fa"), [("chrR", g)])
+    reads = sim.simulate_reads(g, 128, 40, seed=82, contig="chrR")
+    sim.write_fastq(str(tmp_path / "r.fq"), reads)
+
+    common = ["-g", str(tmp_path / "g.fa"), str(tmp_path / "r.fq"),
+              "-m", "9", "-j", "4", "-L", "44", "-B", "16", "--snp"]
+
+    def run2(out, extra):
+        coord = f"localhost:{_free_port()}"
+        procs = [
+            _run_cli(["-o", str(tmp_path / out), "--num-hosts", "2",
+                      "--host-id", str(h), "--coordinator", coord]
+                     + common + extra)
+            for h in range(2)
+        ]
+        outs = [p.communicate(timeout=420) for p in procs]
+        return [(p.returncode, err) for p, (_, err) in zip(procs, outs)]
+
+    # uninterrupted 2-process reference
+    for rc, err in run2("ref", []):
+        assert rc == 0, err[-2000:]
+
+    # interrupted: both hosts crash after 2 batches (each has 4)
+    ck = str(tmp_path / "ck.npz")
+    rcs = run2("out", ["--checkpoint", ck, "--checkpoint-every", "1",
+                       "--fail-after", "2"])
+    # the injected host exits 3; its peer dies on the broken coordination
+    # channel — any nonzero exit counts as "killed mid-run"
+    assert all(rc != 0 for rc, _ in rcs), rcs
+    assert (tmp_path / "ck.npz.h0").exists() or         (tmp_path / "ck.npz.h1").exists()
+
+    # restart: resume from checkpoints, run to completion
+    for rc, err in run2("out", ["--checkpoint", ck,
+                                "--checkpoint-every", "1"]):
+        assert rc == 0, err[-2000:]
+
+    def body(p):
+        return [l for l in open(p) if not l.startswith("@PG")]
+
+    assert body(tmp_path / "ref.sam") == body(tmp_path / "out.sam")
+    assert (tmp_path / "ref.sgr").read_text() == \
+           (tmp_path / "out.sgr").read_text()
+    assert (tmp_path / "ref.sgrex").read_text() == \
+           (tmp_path / "out.sgrex").read_text()

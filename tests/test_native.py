@@ -96,3 +96,64 @@ def test_native_batch_reader_equals_python(tmp_path, small_cfg):
         assert np.array_equal(a.pwm_q, b.pwm_q)
         assert np.array_equal(a.lens, b.lens)
         assert np.array_equal(a.quals, b.quals)
+
+
+def test_native_scatter_bit_identical():
+    """Native ordered coverage/tally scatter == the NumPy np.add.at path
+    (the exact-float64 contract that keeps SGR/SGREX goldens stable)."""
+    from gnumap_tpu.config import PWM_SCALE
+    rng = np.random.default_rng(12)
+    G, B, Lmax = 3000, 32, 48
+    # coverage
+    H = 800
+    pos = rng.integers(-40, G + 20, H)
+    rl = rng.integers(1, 100, H)
+    w = rng.random(H)
+    cov_n = np.zeros(G)
+    nl.scatter_coverage(cov_n, pos, rl, w)
+    cov_p = np.zeros(G)
+    for h in range(H):
+        lo = max(0, int(pos[h]))
+        hi = max(lo, min(G, int(pos[h] + rl[h])))
+        cov_p[lo:hi] += w[h]
+    assert np.array_equal(cov_n, cov_p)
+    # tallies (pure-match + gapped CIGARs, plus/minus strands)
+    pwm_q = rng.integers(0, 4096, (B, Lmax, 4)).astype(np.int32)
+    lens = rng.integers(10, Lmax + 1, B).astype(np.int32)
+    H = 300
+    b_idx = rng.integers(0, B, H).astype(np.int32)
+    minus = rng.integers(0, 2, H).astype(np.int8)
+    tpos = rng.integers(-10, G, H)
+    tw = rng.random(H)
+    cigars = []
+    for h in range(H):
+        L = int(lens[b_idx[h]])
+        if h % 4 == 0 and L > 20:
+            a = L // 3
+            cigars.append(f"{a}M2D{a}M1I{L - 2 * a - 1}M")
+        else:
+            cigars.append("")
+    t_n = np.zeros((G, 4))
+    nl.scatter_tallies(t_n, pwm_q, lens, b_idx, minus, tpos, tw, cigars,
+                       PWM_SCALE)
+    t_p = np.zeros((G, 4))
+    for h in range(H):
+        b = int(b_idx[h])
+        L = int(lens[b])
+        cg = cigars[h] or f"{L}M"
+        gp, i = int(tpos[h]), 0
+        for num, op in oracle._iter_cigar(cg):
+            if op == "M":
+                for k in range(num):
+                    if 0 <= gp < G:
+                        for base in range(4):
+                            pv = (pwm_q[b, L - 1 - i, 3 - base] if minus[h]
+                                  else pwm_q[b, i, base])
+                            t_p[gp, base] += pv / PWM_SCALE * tw[h]
+                    gp += 1
+                    i += 1
+            elif op == "D":
+                gp += num
+            else:
+                i += num
+    assert np.array_equal(t_n, t_p)
