@@ -343,7 +343,7 @@ def main():
                     help="override the config's read count")
     ap.add_argument("--genome-len", type=int, default=0,
                     help="override the config's genome length")
-    ap.add_argument("--batch-size", type=int, default=4096)
+    ap.add_argument("--batch-size", type=int, default=8192)
     ap.add_argument("--depth", type=int, default=3,
                     help="batches kept in flight (pipeline depth)")
     ap.add_argument("--no-baseline", action="store_true")

@@ -24,6 +24,7 @@ SURVEY.md §7: the hot device loop stays store-light (scores only).
 
 from __future__ import annotations
 
+import concurrent.futures
 import dataclasses
 import math
 import os
@@ -122,10 +123,25 @@ def csr_hits(km, bad, bucket_start, positions, offsets, cfg):
     seed_ok = (~bad) & (count > 0) & (count <= cfg.max_hits_per_seed)
     caph = cfg.max_hits_per_seed
     ar = jnp.arange(caph, dtype=jnp.int32)
-    hit_idx = start[:, :, None] + ar[None, None, :]
     hit_ok = seed_ok[:, :, None] & (ar[None, None, :] < count[:, :, None])
+    # Row gather + phase select (same trick as nw_pallas._gather_windows):
+    # TPU gather cost scales with gathered ROWS, so fetching whole aligned
+    # 8-wide rows of `positions` and resolving the start%8 phase with an
+    # 8-way one-hot select is ~5x cheaper than caph independent element
+    # gathers per seed (measured on chip at config-2 shapes).
     npos = positions.shape[0]
-    pos = positions[jnp.clip(hit_idx, 0, max(npos - 1, 0))]
+    nr = max(-(-npos // 8), 1)
+    pos2d = jnp.zeros((nr * 8,), positions.dtype).at[:npos].set(
+        positions).reshape(nr, 8)
+    r0 = start >> 3
+    o = start & 7
+    nfetch = -(-(caph + 7) // 8)
+    rows = pos2d[jnp.clip(
+        r0[:, :, None] + jnp.arange(nfetch, dtype=jnp.int32), 0, nr - 1)]
+    flat = rows.reshape(*start.shape, nfetch * 8)
+    pos = flat[..., 0:caph]
+    for k in range(1, 8):
+        pos = jnp.where((o == k)[:, :, None], flat[..., k:k + caph], pos)
     cand = pos - offsets[None, :, None]
     return jnp.where(hit_ok, cand, SENTINEL)
 
@@ -176,6 +192,31 @@ def windows_for(cand_chunk, g_codes, cfg):
     oob = (idx < 0) | (idx >= G)
     win = g_codes[jnp.clip(idx, 0, G - 1)].astype(jnp.int32)
     return jnp.where(oob, 4, win)
+
+
+def pack_reads(codes: np.ndarray, quals: np.ndarray) -> np.ndarray:
+    """Host-side H2D packing: one uint16 per base, (qual << 3) | code.
+
+    The axon tunnel moves ~25 MB/s, so shipping codes int8 + quals int16
+    (3 bytes/base) made the upload the single largest per-batch cost at
+    batch 8192; the packed uint16 is 2 bytes/base in ONE array (one
+    transfer dispatch).  Exact: qual in [0, 8191] and code in [0, 4] are
+    recovered bit-for-bit by device_unpack."""
+    return ((quals.astype(np.uint16) << 3)
+            | codes.astype(np.uint16)).astype(np.uint16)
+
+
+def device_unpack(packed):
+    """Inverse of pack_reads, on device (fused into the map program)."""
+    p = packed.astype(jnp.int32)
+    return (p & 7).astype(jnp.int8), p >> 3
+
+
+def _materialize(dev_out) -> np.ndarray:
+    """Resolve a submit() handle to a host array (Future or device array)."""
+    if isinstance(dev_out, concurrent.futures.Future):
+        return dev_out.result()
+    return np.asarray(dev_out)
 
 
 def device_pwm(codes, quals, lens, table):
@@ -234,15 +275,22 @@ def device_tb_tail(cfg: MapperConfig, cands, valid, scores, max_sc,
                    emis2, lens2, g_words, interpret: bool):
     """Retention threshold + winner compaction + traceback + indel-compacted
     blob — the device tail shared by TpuMapper._device_map_tb and the
-    sharded DistMapper step (per shard).  Returns ONE flat int32 blob:
+    sharded DistMapper step (per shard).  Returns ONE flat int32 blob
+    (kept small: the axon tunnel fetches at ~25 MB/s, so every word here
+    is on the per-batch critical path):
 
-      blob[:7*H]   per-hit meta [flat_idx, cand, score, j_final, n_keep,
-                   n_valid, indel_slot] x H=B2 rows (-1 flat_idx = empty)
-      blob[7*H:-1] compacted ops of the K=H/8 indel-bearing hits
-      blob[-1]     n_indel (overflow detection)
+      blob[:4*H]    per-hit meta x H=B2 rows:
+                      w0 = flat_idx | (j_final << 21)   (-1 = empty slot)
+                      w1 = cand,  w2 = score,  w3 = indel_slot (-1 = none)
+      blob[4*H:-3]  compacted ops of the K = max(64, H/32) indel-bearing
+                    hits (indels are rare; overflow -> host fallback)
+      blob[-3:]     [n_keep, n_valid, n_indel]
     """
     B2, C = cands.shape
     H = B2
+    assert B2 * C < (1 << 21), "flat_idx must fit 21 bits (w0 packing)"
+    assert cfg.window_width() < (1 << 8), \
+        "j_final must fit 8 bits (w0 packing): max_read_len <= 223"
     with jax.named_scope("retain_compact"):
         thr = device_threshold(max_sc, cfg.ratio_q())
         keep = valid & (scores >= thr[:, None]) & (scores > 0)
@@ -269,7 +317,7 @@ def device_tb_tail(cfg: MapperConfig, cands, valid, scores, max_sc,
             sublanes=cfg.pallas_tb_sublanes, band=cfg.band())
     with jax.named_scope("indel_compact"):
         Lp = ops.shape[1]
-        K = max(1, H // 8)
+        K = max(64, H // 32)
         in_read = (jnp.arange(Lp, dtype=jnp.int32)[None, :]
                    < len_h[:, None])
         has_indel = jnp.any((ops != 0) & in_read, axis=1) & valid_h
@@ -280,23 +328,23 @@ def device_tb_tail(cfg: MapperConfig, cands, valid, scores, max_sc,
             jnp.where(has_indel, ki, K)].set(
             jnp.arange(H, dtype=jnp.int32), mode="drop")
         ops_c = ops[src]                            # (K, Lp) int16
-    nk = jnp.full((H,), n_keep, jnp.int32)
-    nv = jnp.full((H,), jnp.sum(valid.astype(jnp.int32)), jnp.int32)
-    meta = jnp.stack([hit_flat, cand_h, score_h, jfin, nk, nv, islot],
-                     axis=1)
+    w0 = jnp.where(valid_h, hit_flat | (jfin << 21), -1)
+    meta = jnp.stack([w0, cand_h, score_h, islot], axis=1)
+    nv = jnp.sum(valid.astype(jnp.int32))
+    tail = jnp.stack([n_keep, nv, n_indel])
     ops32 = jax.lax.bitcast_convert_type(
         ops_c.astype(jnp.uint16).reshape(K, Lp // 2, 2), jnp.int32)
     # one FLAT fetch (the tunnel charges per-array latency)
     return jnp.concatenate(
-        [meta.reshape(-1), ops32.reshape(-1), n_indel.reshape(1)], axis=0)
+        [meta.reshape(-1), ops32.reshape(-1), tail], axis=0)
 
 
 def tb_blob_len(cfg: MapperConfig, B: int) -> int:
     """Host-side length of the device_tb_tail blob for a B-read batch."""
     H = 2 * B
-    K = max(1, H // 8)
+    K = max(64, H // 32)
     Lp = ((cfg.max_read_len + 7) // 8) * 8
-    return 7 * H + K * (Lp // 2) + 1
+    return 4 * H + K * (Lp // 2) + 3
 
 
 def decode_tb_blob(cfg: MapperConfig, B: int, n: int, lens_np, blob,
@@ -310,22 +358,24 @@ def decode_tb_blob(cfg: MapperConfig, B: int, n: int, lens_np, blob,
     path)."""
     C = cfg.max_candidates
     H = 2 * B
-    K = max(1, H // 8)
-    meta_all = blob[:7 * H].reshape(H, 7)
-    n_keep = int(meta_all[0, 4])
-    n_valid = int(meta_all[0, 5])
+    K = max(64, H // 32)
+    meta_all = blob[:4 * H].reshape(H, 4)
+    n_keep = int(blob[-3])
+    n_valid = int(blob[-2])
     n_indel = int(blob[-1])
     if n_keep > H or n_indel > K:
         return None
     meta = meta_all[:n_keep]
     ops_c = np.ascontiguousarray(
-        blob[7 * H:-1].reshape(K, -1)).view(np.uint16)
-    rows = meta[:, 0] // C
+        blob[4 * H:-3].reshape(K, -1)).view(np.uint16)
+    flat_idx = meta[:, 0] & ((1 << 21) - 1)
+    jfin = (meta[:, 0] >> 21) & 0xFF
+    rows = flat_idx // C
     b_idx = rows % B
     minus = rows >= B
-    pos = cfg.window_start(meta[:, 1]) + meta[:, 3]
+    pos = cfg.window_start(meta[:, 1]) + jfin
     lens_h = lens_np[b_idx]
-    islot = meta[:, 6]
+    islot = meta[:, 3]
     out: List[List[ReadHit]] = [[] for _ in range(n)]
     per_read: Dict[int, Dict[Tuple[str, int], ReadHit]] = {}
     for h in range(n_keep):
@@ -452,11 +502,15 @@ class TpuMapper:
             c, p, l, *self._big_args)
         # quality-derived variants: ship (codes, quals), build PWM on device
         self._map_tb_q_inner = jax.jit(self._device_map_tb_q)
-        self._map_tb_q = lambda c, q, l: self._map_tb_q_inner(
-            c, q, l, *self._big_args)
+        self._map_tb_q = lambda p, l: self._map_tb_q_inner(
+            p, l, *self._big_args)
         self._map_packed_q_inner = jax.jit(self._device_map_packed_q)
-        self._map_packed_q = lambda c, q, l: self._map_packed_q_inner(
-            c, q, l, *self._big_args)
+        self._map_packed_q = lambda p, l: self._map_packed_q_inner(
+            p, l, *self._big_args)
+        # fetch workers (see submit); sized for map_stream's depth-3
+        # pipeline — the device/tunnel serializes the programs themselves
+        self._fetch_pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=3, thread_name_prefix="gnumap-fetch")
 
     # ------------------------------------------------------------------
     # Device program
@@ -526,13 +580,16 @@ class TpuMapper:
         return self._device_map(codes, pwm_q, lens, idx_args,
                                 g_codes, g_words, S_plus, S_minus)
 
-    def _device_map_tb_q(self, codes, quals, lens, *big):
-        """Quality-derived batches: PWM built on device (device_pwm)."""
+    def _device_map_tb_q(self, packed, lens, *big):
+        """Quality-derived batches: reads arrive as ONE pack_reads uint16
+        array; codes/quals unpack and the PWM builds on device."""
+        codes, quals = device_unpack(packed)
         table = self._split_big(big)[5]
         pwm_q = device_pwm(codes, quals, lens, table)
         return self._device_map_tb(codes, pwm_q, lens, *big)
 
-    def _device_map_packed_q(self, codes, quals, lens, *big):
+    def _device_map_packed_q(self, packed, lens, *big):
+        codes, quals = device_unpack(packed)
         table = self._split_big(big)[5]
         pwm_q = device_pwm(codes, quals, lens, table)
         return self._device_map_packed(codes, pwm_q, lens, *big)
@@ -655,11 +712,18 @@ class TpuMapper:
         dev = self.finish_impl == "device"
         if batch.pwm_arr is None:
             fn = self._map_tb_q if dev else self._map_packed_q
-            mid = jnp.asarray(batch.quals)
+            out = fn(jnp.asarray(pack_reads(batch.codes, batch.quals)),
+                     jnp.asarray(batch.lens))
         else:
             fn = self._map_tb if dev else self._map_packed
-            mid = jnp.asarray(batch.pwm_arr)
-        return fn(jnp.asarray(batch.codes), mid, jnp.asarray(batch.lens))
+            out = fn(jnp.asarray(batch.codes), jnp.asarray(batch.pwm_arr),
+                     jnp.asarray(batch.lens))
+        # The axon tunnel defers real execution until a device_get, so
+        # fetching on the caller's thread would serialize every batch's
+        # execute + transfer + host-decode.  Handing the fetch to a worker
+        # thread starts execution NOW and overlaps it (GIL-free network
+        # wait) with the host decode of earlier batches.
+        return self._fetch_pool.submit(np.asarray, out)
 
     def finish(self, batch: ReadBatch, dev_out,
                stats: Optional[BatchStats] = None) -> List[List[ReadHit]]:
@@ -671,7 +735,7 @@ class TpuMapper:
                     stats: Optional[BatchStats] = None
                     ) -> List[List[ReadHit]]:
         t0 = time.perf_counter()
-        blob = np.asarray(dev_out)
+        blob = _materialize(dev_out)
         outputs = self.unpack_blob(blob, self.cfg.max_candidates)
         t1 = time.perf_counter()
         out = host_finish(self.genome, self.S_plus_np, self.S_minus_np,
@@ -690,7 +754,7 @@ class TpuMapper:
         (strand, pos), normalize posterior weights.  No DP on the host."""
         cfg = self.cfg
         t0 = time.perf_counter()
-        blob = np.asarray(dev_out)
+        blob = _materialize(dev_out)
         t1 = time.perf_counter()
         B = batch.codes.shape[0]
         decoded = decode_tb_blob(cfg, B, batch.n, batch.lens, blob)
