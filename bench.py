@@ -218,6 +218,7 @@ def kernel_bitcheck():
         got = np.asarray(nw_pallas.nw_scores_banded(
             emis_t, jnp_arr(cands), jnp_arr(lens), jnp_arr(gwords),
             L=L, W=W, slack=cfg.gap_slack, boff=cfg.band()[0],
+            bw=cfg.band()[1],
             open_q=cfg.gap_open_q(), ext_q=cfg.gap_extend_q(),
             interpret=interpret))
     else:

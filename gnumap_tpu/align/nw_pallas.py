@@ -184,7 +184,7 @@ def _nw_kernel(skip_ref, rows_ref, win8_ref, out_ref,
 
 
 # ---------------------------------------------------------------------------
-# Banded scoring kernel ([FROZEN v3] band, config.MapperConfig.band)
+# Banded scoring kernel ([FROZEN v4] band, config.MapperConfig.band)
 #
 # Design (vs the full-width kernel above):
 #   * Diagonal-band state: DP lane b holds column c = i + b - boff at read
@@ -192,11 +192,13 @@ def _nw_kernel(skip_ref, rows_ref, win8_ref, out_ref,
 #     predecessor becomes a SAME-LANE read (no roll), Ix shifts one lane
 #     left, and the in-row Iy prefix-max ramp is lane-local because the
 #     (i - boff) column offset cancels out of the frozen unrolling.
-#   * 2 candidates per 128-lane register: lanes [0:64) and [64:128) are
-#     independent 64-lane band segments of two candidate loci of the same
-#     read (sublane = read), so every VPU op advances 2x the problems of a
-#     window-per-lane layout.  Segment isolation = lane_local (= lane & 63)
-#     masks on the shift/cummax ops.
+#   * n_seg = 128 // bw candidates per 128-lane register (3 at the
+#     default slack=8, bw=42): lanes [s*bw, (s+1)*bw) are independent
+#     bw-lane band segments of n_seg candidate loci of the same read
+#     (sublane = read), so every VPU op advances n_seg problems at once.
+#     Segment isolation = lane_local (= lane mod bw, precomputed iota)
+#     masks on the shift/cummax ops; lanes >= n_seg*bw compute garbage
+#     that is sliced away before the per-segment score reduce.
 #   * Genome windows are fetched by an XLA ROW gather + word realignment
 #     (see _gather_windows): whole aligned 8-word rows are gathered (cost
 #     on TPU scales with gather rows, measured ~13x cheaper than the
@@ -216,7 +218,6 @@ def _nw_kernel(skip_ref, rows_ref, win8_ref, out_ref,
 # nw_ref.nw_scores(band=...) (tests/test_pallas.py, bench kernel_bitcheck).
 # ---------------------------------------------------------------------------
 
-BAND = 64           # band lanes per candidate segment (2 segments / vreg)
 DEEP = -(1 << 30)   # emission poison: DEEP + any diag < NEG_INF, floored
 
 
@@ -252,16 +253,16 @@ def _gather_windows(cands, valid, genome_words, W, Wroll, slack):
 
 def _nw_band_kernel(meta_ref, rows_ref, win_ref, out_ref,
                     m_ref, ix_ref, iy_ref, cap_ref, *,
-                    L: int, W: int, Wroll: int, boff: int,
-                    open_q: int, ext_q: int, S: int):
-    """One tile: S reads x 2 candidate slots, 64-lane band per slot.
+                    L: int, W: int, Wroll: int, boff: int, bw: int,
+                    n_seg: int, open_q: int, ext_q: int, S: int):
+    """One tile: S reads x n_seg candidate slots, bw-lane band per slot.
 
     meta_ref: SMEM (1, 1, 1, 2) int32    [skip, max_len_of_read_group]
     rows_ref: VMEM (1, Lp, S, 8) int32   lanes 0..4 emission, 5 open_i,
                                          6 ext_i, 7 end-row flag
-    win_ref:  VMEM (1, 1, 2S, Wroll) int8  full windows, slot a*S + r
+    win_ref:  VMEM (1, 1, n_seg*S, Wroll) int8  full windows, slot a*S + r
                                          (code 5 = sentinel poison)
-    out_ref:  VMEM (1, 1, S, 128) int32  end captures (reduce per 64)
+    out_ref:  VMEM (1, 1, S, 128) int32  end captures (reduce per bw)
     m/ix/iy/cap: VMEM (S, 128) int32
     """
     skip = meta_ref[0, 0, 0, 0]
@@ -273,14 +274,18 @@ def _nw_band_kernel(meta_ref, rows_ref, win_ref, out_ref,
     @pl.when(skip == 0)
     def _():
         lane = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)
-        lane_local = lane & (BAND - 1)
+        lane_local = lane % bw                  # dead lanes >= n_seg*bw
         col_base = lane_local - boff            # col = col_base + i
         ramp1 = lane_local * ext_q
         ramp2 = open_q + (lane_local - 1) * ext_q
-        cum_masks = [(lane_local >= sh, sh) for sh in (1, 2, 4, 8, 16, 32)]
+        shifts = []
+        sh = 1
+        while sh < bw:
+            shifts.append(sh)
+            sh *= 2
+        cum_masks = [(lane_local >= sh, sh) for sh in shifts]
         ge1 = lane_local >= 1
-        le_bm2 = lane_local <= BAND - 2
-        segA = lane < BAND
+        le_bm2 = lane_local <= bw - 2
         maxlen = meta_ref[0, 0, 0, 1]
 
         # M[0][c] = 0 for window columns c in [0, W]; lanes whose row-0
@@ -292,24 +297,27 @@ def _nw_band_kernel(meta_ref, rows_ref, win_ref, out_ref,
         iy_ref[:, :] = jnp.full((S, 128), NEG_INF, jnp.int32)
         cap_ref[:, :] = jnp.full((S, 128), NEG_INF, jnp.int32)
 
-        # int32 window codes: Mosaic's lane rotate is 32-bit only
+        # int32 window codes: Mosaic's lane rotate is 32-bit only.
+        # Rolled planes: at row i, lanes of wr[s] hold segment s's window
+        # bases win_s[(i + lane_local - boff) - 1]; rolled left 1 per row.
         win_all = win_ref[0, 0].astype(jnp.int32)
-        winA = win_all[:S]
-        winB = win_all[S:]
-        # rolled windows: at row i, lanes of wrA/wrB hold the band's window
-        # bases winX[(i + lane_local - boff) - 1]; rolled left 1 per row
-        wrA = pltpu.roll(winA, boff % Wroll, 1)
-        wrB = pltpu.roll(winB, (64 + boff) % Wroll, 1)
+        wrs = tuple(
+            pltpu.roll(win_all[s * S:(s + 1) * S],
+                       (s * bw + boff) % Wroll, 1)
+            for s in range(n_seg))
 
         def row(k, carry):
-            wrA, wrB, m0, ix0 = carry
+            m0, ix0 = carry[-2:]
+            wrs = carry[:-2]
             i = k + 1
             slab = rows_ref[0, k]                # (S, 8)
             opn = slab[:, 5:6]
             ext = slab[:, 6:7]
             endf = slab[:, 7:8] > 0
             col = col_base + i
-            win = jnp.where(segA, wrA[:, :128], wrB[:, :128])
+            win = wrs[n_seg - 1][:, :128]
+            for s in range(n_seg - 2, -1, -1):
+                win = jnp.where(lane < (s + 1) * bw, wrs[s][:, :128], win)
             win = jnp.where((col < 1) | (col > W), 5, win)
             e = jnp.full((S, 128), DEEP, jnp.int32)
             for v in range(5):
@@ -336,34 +344,36 @@ def _nw_band_kernel(meta_ref, rows_ref, win_ref, out_ref,
             fin = jnp.maximum(jnp.maximum(M_new, Ix_new), ix0_new)
             cap_ref[:, :] = jnp.where(endf, fin, cap_ref[:, :])
             m0_new = jnp.full((S, 1), NEG_INF, jnp.int32)
-            return (pltpu.roll(wrA, Wroll - 1, 1),
-                    pltpu.roll(wrB, Wroll - 1, 1), m0_new, ix0_new)
+            return tuple(pltpu.roll(w, Wroll - 1, 1) for w in wrs) + (
+                m0_new, ix0_new)
 
         jax.lax.fori_loop(
             0, maxlen, row,
-            (wrA, wrB, jnp.zeros((S, 1), jnp.int32),
-             jnp.full((S, 1), NEG_INF, jnp.int32)))
+            wrs + (jnp.zeros((S, 1), jnp.int32),
+                   jnp.full((S, 1), NEG_INF, jnp.int32)))
         out_ref[0, 0] = cap_ref[:, :]
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("L", "W", "slack", "boff", "open_q",
-                                    "ext_q", "interpret", "rpt"))
+                   static_argnames=("L", "W", "slack", "boff", "bw",
+                                    "open_q", "ext_q", "interpret", "rpt"))
 def nw_scores_banded(emis_t: jax.Array, cands: jax.Array, lens: jax.Array,
                      genome_words: jax.Array, *, L: int, W: int, slack: int,
-                     boff: int, open_q: int, ext_q: int,
+                     boff: int, open_q: int, ext_q: int, bw: int = 64,
                      interpret: bool = False, rpt: int = 128) -> jax.Array:
-    """Banded scores for every (read-strand, candidate) pair ([FROZEN v3]).
+    """Banded scores for every (read-strand, candidate) pair ([FROZEN v4]).
 
     emis_t:       int32[B2, 5, L]  emission tables, code-major
     cands:        int32[B2, C]     sorted candidate anchors, SENTINEL-padded
     lens:         int32[B2]        true read lengths
     genome_words: int32[Gw]        4-bit packed genome from pad_genome_words
+    (boff, bw):   the [FROZEN v4] band (MapperConfig.band)
     returns:      int32[B2, C]     alignment scores (NEG_INF at sentinels)
     """
     B2, C = cands.shape
     S = rpt
-    assert C % 2 == 0, "max_candidates must be even for the banded kernel"
+    n_seg = 128 // bw
+    assert n_seg >= 1
     Wroll = _round_up(W, 128)
     Lp = _round_up(L, 8)
     B2p = _round_up(B2, S)
@@ -373,7 +383,11 @@ def nw_scores_banded(emis_t: jax.Array, cands: jax.Array, lens: jax.Array,
                         constant_values=SENTINEL)
         lens = jnp.pad(lens, (0, B2p - B2))
     Gb = B2p // S
-    nt2 = C // 2
+    # pad the candidate axis to a multiple of n_seg segments per tile
+    Cp = _round_up(C, n_seg)
+    cands_p = (jnp.pad(cands, ((0, 0), (0, Cp - C)),
+                       constant_values=SENTINEL) if Cp != C else cands)
+    nt = Cp // n_seg
 
     rows = jnp.zeros((B2p, Lp, 8), dtype=jnp.int32)
     rows = rows.at[:, :L, :5].set(jnp.transpose(emis_t, (0, 2, 1)))
@@ -384,34 +398,35 @@ def nw_scores_banded(emis_t: jax.Array, cands: jax.Array, lens: jax.Array,
     rows = rows.at[:, :, 7].set((ar == lens[:, None] - 1).astype(jnp.int32))
     rows = rows.reshape(Gb, S, Lp, 8).transpose(0, 2, 1, 3)
 
-    valid = cands != SENTINEL
-    win8 = _gather_windows(cands, valid, genome_words, W, Wroll, slack)
-    win8 = win8.reshape(Gb, S, nt2, 2, Wroll).transpose(0, 2, 3, 1, 4)
-    win8 = win8.reshape(Gb, nt2, 2 * S, Wroll)
+    valid = cands_p != SENTINEL
+    win8 = _gather_windows(cands_p, valid, genome_words, W, Wroll, slack)
+    win8 = win8.reshape(Gb, S, nt, n_seg, Wroll).transpose(0, 2, 3, 1, 4)
+    win8 = win8.reshape(Gb, nt, n_seg * S, Wroll)
 
     skip = jnp.logical_not(
-        valid.reshape(Gb, S, nt2, 2).any(axis=(1, 3))).astype(jnp.int32)
+        valid.reshape(Gb, S, nt, n_seg).any(axis=(1, 3))).astype(jnp.int32)
     maxlen = jnp.max(lens.reshape(Gb, S), axis=1).astype(jnp.int32)
-    meta = jnp.stack([skip, jnp.broadcast_to(maxlen[:, None], (Gb, nt2))],
-                     axis=2).reshape(Gb, nt2, 1, 2)
+    meta = jnp.stack([skip, jnp.broadcast_to(maxlen[:, None], (Gb, nt))],
+                     axis=2).reshape(Gb, nt, 1, 2)
 
     kernel = functools.partial(
-        _nw_band_kernel, L=L, W=W, Wroll=Wroll, boff=boff,
-        open_q=open_q, ext_q=ext_q, S=S)
+        _nw_band_kernel, L=L, W=W, Wroll=Wroll, boff=boff, bw=bw,
+        n_seg=n_seg, open_q=open_q, ext_q=ext_q, S=S)
     out = pl.pallas_call(
         kernel,
-        grid=(Gb, nt2),
+        grid=(Gb, nt),
         in_specs=[
             pl.BlockSpec((1, 1, 1, 2), lambda g, t: (g, t, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, Lp, S, 8), lambda g, t: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 2 * S, Wroll), lambda g, t: (g, t, 0, 0),
+            pl.BlockSpec((1, 1, n_seg * S, Wroll),
+                         lambda g, t: (g, t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, S, 128), lambda g, t: (g, t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Gb, nt2, S, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((Gb, nt, S, 128), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((S, 128), jnp.int32),
             pltpu.VMEM((S, 128), jnp.int32),
@@ -420,9 +435,10 @@ def nw_scores_banded(emis_t: jax.Array, cands: jax.Array, lens: jax.Array,
         ],
         interpret=interpret,
     )(meta, rows, win8)
-    # (Gb, nt2, S, 128) -> max over each 64-lane segment -> (B2p, C)
-    scores = jnp.max(out.reshape(Gb, nt2, S, 2, BAND), axis=4)
-    scores = scores.transpose(0, 2, 1, 3).reshape(B2p, C)[:B2]
+    # (Gb, nt, S, 128) -> max over each bw-lane segment -> (B2p, Cp)
+    scores = jnp.max(
+        out[..., :n_seg * bw].reshape(Gb, nt, S, n_seg, bw), axis=4)
+    scores = scores.transpose(0, 2, 1, 3).reshape(B2p, Cp)[:B2, :C]
     return jnp.where(cands[:B2] != SENTINEL, scores, NEG_INF)
 
 

@@ -127,24 +127,29 @@ class MapperConfig:
     def window_start(self, cand):
         return ((cand - self.gap_slack) // WINDOW_ALIGN) * WINDOW_ALIGN
 
-    # [FROZEN v3] DP band.  The affine NW recurrence is band-restricted:
+    # [FROZEN v4] DP band.  The affine NW recurrence is band-restricted:
     # for read row i >= 1, window column j >= 1 participates iff
     #   i - boff <= j <= i - boff + bw - 1,
     # i.e. M/Ix/Iy[i][j] are forced to exactly NEG_INF outside the band
-    # (column 0 — the leading-insertion ramp — is exempt).  boff = 2*slack
-    # and bw = 64 cover every alignment the window itself supports: start
-    # column in [0, 2*slack + WINDOW_ALIGN) (floor-aligned window rule) and
-    # path deviation within +-slack needs j - i in [-(slack+1), 3*slack +
-    # WINDOW_ALIGN - 1], a width of 4*slack + WINDOW_ALIGN + 2 <= 64 for
-    # slack <= 11.  Larger slack disables banding (None) and every DP
-    # implementation (oracle, nw_ref, Pallas, native host finisher) falls
-    # back to the unbanded recurrence — band identity is a pure function of
-    # this config, never of the backend.  Within-band values are unchanged;
-    # retained (score >= a*max) alignments always fit the band, so banding
-    # only rewrites junk sub-threshold scores.
+    # (column 0 — the leading-insertion ramp — is exempt).  v4 tightens
+    # v3's (2*slack, 64) to the geometric minimum: boff = slack + 1 and
+    # bw = 4*slack + WINDOW_ALIGN + 2, which covers every alignment the
+    # window model supports — start column in [0, 2*slack + WINDOW_ALIGN)
+    # (floor-aligned window rule) plus path deviation within +-slack gives
+    # j - i in [-(slack+1), 3*slack + WINDOW_ALIGN - 1].  The narrower
+    # band lets the Pallas kernel pack 128 // bw candidate segments per
+    # register row (3 at the default slack=8) instead of 2.  bw > 64
+    # disables banding (None) and every DP implementation (oracle, nw_ref,
+    # Pallas, native host finisher) falls back to the unbanded recurrence —
+    # band identity is a pure function of this config, never of the
+    # backend.  Within-band values are unchanged; retained (score >=
+    # a*max) alignments fit the band whenever their net gap drift is
+    # within +-slack (the window's own gap budget), so banding only
+    # rewrites junk sub-threshold scores.
     def band(self) -> Optional[Tuple[int, int]]:
-        if 4 * self.gap_slack + WINDOW_ALIGN + 2 <= 64:
-            return (2 * self.gap_slack, 64)
+        bw = 4 * self.gap_slack + WINDOW_ALIGN + 2
+        if bw <= 64:
+            return (self.gap_slack + 1, bw)
         return None
 
     # FROZEN retention threshold: ceil(a * max_score) computed in exact

@@ -139,6 +139,7 @@ class DistMapper:
                     emis2_t, cands, lens2, g_args[0],
                     L=cfg.max_read_len, W=cfg.window_width(),
                     slack=cfg.gap_slack, boff=cfg.band()[0],
+                    bw=cfg.band()[1],
                     open_q=open_q, ext_q=ext_q,
                     interpret=self._interpret)
             return nw_pallas.nw_scores_pallas(

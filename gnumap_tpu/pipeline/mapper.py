@@ -646,6 +646,7 @@ class TpuMapper:
                         emis2_t, cands[order], lens2[order], g_words,
                         L=cfg.max_read_len, W=cfg.window_width(),
                         slack=cfg.gap_slack, boff=cfg.band()[0],
+                        bw=cfg.band()[1],
                         open_q=open_q, ext_q=ext_q,
                         interpret=self._interpret,
                         rpt=cfg.pallas_band_rows)[inv]

@@ -101,18 +101,20 @@ def _check_vs_oracle(cfg, L, C, B2, G, seed, interpret):
 
 @pytest.mark.skipif(not on_tpu, reason="requires TPU (kernel compile)")
 def test_pallas_matches_oracle_tpu():
-    _check_vs_oracle(MapperConfig(max_read_len=32), L=32, C=16, B2=12,
-                     G=800, seed=42, interpret=False)
+    # gap_slack=16 -> band() is None: the full-width kernel is the
+    # production path only for unbanded configs ([FROZEN v4])
+    _check_vs_oracle(MapperConfig(max_read_len=32, gap_slack=16), L=32,
+                     C=16, B2=12, G=800, seed=42, interpret=False)
 
 
 def test_pallas_matches_oracle_interpret():
-    _check_vs_oracle(MapperConfig(max_read_len=16), L=16, C=8, B2=4,
-                     G=200, seed=3, interpret=True)
+    _check_vs_oracle(MapperConfig(max_read_len=16, gap_slack=16), L=16,
+                     C=8, B2=4, G=200, seed=3, interpret=True)
 
 
 def test_pallas_matches_oracle_interpret_bigger():
-    _check_vs_oracle(MapperConfig(max_read_len=24), L=24, C=16, B2=10,
-                     G=600, seed=11, interpret=True)
+    _check_vs_oracle(MapperConfig(max_read_len=24, gap_slack=16), L=24,
+                     C=16, B2=10, G=600, seed=11, interpret=True)
 
 
 # ---------------------------------------------------------------------------
@@ -125,10 +127,10 @@ def _check_banded_vs_oracle(cfg, L, C, B2, G, seed, interpret, rpt=8):
     genome, emis, cands, lens, W = _setup(rng, B2, C, L, G, cfg)
     gwords = nw_pallas.pad_genome_words(genome, W)
     emis_t = np.ascontiguousarray(emis.transpose(0, 2, 1))
-    boff, _ = cfg.band()
+    boff, bw = cfg.band()
     got = np.asarray(nw_pallas.nw_scores_banded(
         emis_t, cands, lens, gwords, L=L, W=W, slack=cfg.gap_slack,
-        boff=boff, open_q=cfg.gap_open_q(), ext_q=cfg.gap_extend_q(),
+        boff=boff, bw=bw, open_q=cfg.gap_open_q(), ext_q=cfg.gap_extend_q(),
         interpret=interpret, rpt=rpt))
     for b in range(B2):
         lb = int(lens[b])
@@ -165,7 +167,7 @@ def test_banded_matches_nw_ref_banded():
     emis_t = np.ascontiguousarray(emis.transpose(0, 2, 1))
     got = np.asarray(nw_pallas.nw_scores_banded(
         emis_t, cands, lens, gwords, L=48, W=W, slack=cfg.gap_slack,
-        boff=cfg.band()[0], open_q=cfg.gap_open_q(),
+        boff=cfg.band()[0], bw=cfg.band()[1], open_q=cfg.gap_open_q(),
         ext_q=cfg.gap_extend_q(), interpret=True, rpt=8))
     from gnumap_tpu.align import nw_ref
     wins = np.zeros((10, 8, W), np.int32)
