@@ -52,6 +52,19 @@ CONFIGS = {
             genome_len=46_709_983, n_reads=16_384, read_len=100, mer=13,
             jump=5, max_read_len=104, repeat_frac=0.02, bisulfite=False,
             snp=True),
+    # FM/BWT index backend measured on the same chip as the CSR headline
+    # (VERDICT.md round-2 next-#6: "shard it or measure it").
+    6: dict(name="E.coli-scale FM-index backend",
+            genome_len=4_641_652, n_reads=16_384, read_len=100, mer=12,
+            jump=5, max_read_len=104, repeat_frac=0.0, bisulfite=False,
+            index="fm"),
+    # Segmented-genome path (the >2^31-base config-5 machinery) measured
+    # at chr21 scale with 2 position-partitioned segments
+    # (VERDICT.md round-2 next-#4: segments as a measured thing).
+    7: dict(name="chr21-scale segmented genome (2 segments)",
+            genome_len=46_709_983, n_reads=16_384, read_len=100, mer=13,
+            jump=5, max_read_len=104, repeat_frac=0.02, bisulfite=False,
+            segments=2),
 }
 
 
@@ -73,9 +86,22 @@ def build_workload(n_reads, genome_len, batch_size, config=2):
                        snp_mode=c.get("snp", False))
     genome = sim.random_genome(genome_len, seed=0,
                                repeat_frac=c["repeat_frac"])
-    gen = builder.Genome.from_contigs([("ref_sim", genome)])
-    idx = (builder.build_bs_index(gen, cfg) if c["bisulfite"]
-           else builder.build_index(gen, cfg))
+    if c.get("segments"):
+        # two contigs so the segment boundary is contig-aligned
+        half = genome_len // 2
+        gen = builder.Genome.from_contigs(
+            [("ref_sim", genome[:half]), ("ref_sim2", genome[half:])])
+        idx = None                      # per-segment indexes built by the
+                                        # GlobalSegmentedMapper itself
+    else:
+        gen = builder.Genome.from_contigs([("ref_sim", genome)])
+        if c.get("index") == "fm":
+            from gnumap_tpu.index import fm
+            idx = fm.build_fm_index(gen, cfg)
+        elif c["bisulfite"]:
+            idx = builder.build_bs_index(gen, cfg)
+        else:
+            idx = builder.build_index(gen, cfg)
     reads = sim.simulate_reads(genome, n_reads, c["read_len"], seed=7,
                                sub_rate=0.01, contig="ref_sim",
                                bisulfite=c["bisulfite"])
@@ -90,13 +116,22 @@ def build_workload(n_reads, genome_len, batch_size, config=2):
     return cfg, gen, idx, recs
 
 
-def run_pipeline(cfg, gen, idx, recs, align_impl, depth=3):
+def make_mapper(cfg, gen, idx, align_impl, n_segments=0):
+    from gnumap_tpu.pipeline import mapper as pl
+    if n_segments:
+        from gnumap_tpu.dist.segments import GlobalSegmentedMapper
+        return GlobalSegmentedMapper(gen, cfg, align_impl=align_impl,
+                                     n_segments=n_segments)
+    return pl.TpuMapper(gen, idx, cfg, align_impl=align_impl)
+
+
+def run_pipeline(cfg, gen, idx, recs, align_impl, depth=3, n_segments=0):
     import jax
     from collections import deque
     from gnumap_tpu.io import fastq as io_fastq
     from gnumap_tpu.pipeline import mapper as pl
 
-    m = pl.TpuMapper(gen, idx, cfg, align_impl=align_impl)
+    m = make_mapper(cfg, gen, idx, align_impl, n_segments)
     batches = list(io_fastq.batch_reads(iter(recs), cfg))
     # warmup/compile on the first batch — must include a full host fetch:
     # the axon tunnel defers real execution + remote program load until the
@@ -309,10 +344,13 @@ def bench_config(cfgnum, args, impl, with_baseline):
     """Run one ladder config; return its result dict."""
     cfg, gen, idx, recs = build_workload(
         args.reads, args.genome_len, args.batch_size, config=cfgnum)
-    runner = (run_stream_snp if CONFIGS[cfgnum].get("snp")
-              else run_pipeline)
-    dt, stats, n_hits, acc = runner(cfg, gen, idx, recs, impl,
-                                    depth=args.depth)
+    if CONFIGS[cfgnum].get("snp"):
+        dt, stats, n_hits, acc = run_stream_snp(cfg, gen, idx, recs, impl,
+                                                depth=args.depth)
+    else:
+        dt, stats, n_hits, acc = run_pipeline(
+            cfg, gen, idx, recs, impl, depth=args.depth,
+            n_segments=CONFIGS[cfgnum].get("segments", 0))
     reads_per_s = stats.n_reads / dt
     cells_per_s = stats.dp_cells / max(stats.device_s, 1e-9)
     vs_baseline = None
