@@ -87,12 +87,25 @@ def build_workload(n_reads, genome_len, batch_size, config=2):
     genome = sim.random_genome(genome_len, seed=0,
                                repeat_frac=c["repeat_frac"])
     if c.get("segments"):
-        # two contigs so the segment boundary is contig-aligned
+        # Two contigs so the segment boundary is contig-aligned.  Reads are
+        # simulated PER CONTIG so their names carry contig-local truth
+        # (account() resolves mapped positions with genome.locate) — the
+        # round-3 record's 0.4939 "accuracy" was a truth-coordinate bug:
+        # truth sampled from the unsplit string missed the 64-N contig
+        # spacer Genome.from_contigs inserts (VERDICT.md r3 next-#1).
         half = genome_len // 2
         gen = builder.Genome.from_contigs(
             [("ref_sim", genome[:half]), ("ref_sim2", genome[half:])])
         idx = None                      # per-segment indexes built by the
                                         # GlobalSegmentedMapper itself
+        reads = (sim.simulate_reads(genome[:half], n_reads // 2,
+                                    c["read_len"], seed=7, sub_rate=0.01,
+                                    contig="ref_sim",
+                                    bisulfite=c["bisulfite"])
+                 + sim.simulate_reads(genome[half:], n_reads - n_reads // 2,
+                                      c["read_len"], seed=8, sub_rate=0.01,
+                                      contig="ref_sim2",
+                                      bisulfite=c["bisulfite"]))
     else:
         gen = builder.Genome.from_contigs([("ref_sim", genome)])
         if c.get("index") == "fm":
@@ -102,9 +115,9 @@ def build_workload(n_reads, genome_len, batch_size, config=2):
             idx = builder.build_bs_index(gen, cfg)
         else:
             idx = builder.build_index(gen, cfg)
-    reads = sim.simulate_reads(genome, n_reads, c["read_len"], seed=7,
-                               sub_rate=0.01, contig="ref_sim",
-                               bisulfite=c["bisulfite"])
+        reads = sim.simulate_reads(genome, n_reads, c["read_len"], seed=7,
+                                   sub_rate=0.01, contig="ref_sim",
+                                   bisulfite=c["bisulfite"])
     recs = []
     for r in reads:
         codes = packing.encode(r.seq)
@@ -157,8 +170,12 @@ def run_pipeline(cfg, gen, idx, recs, align_impl, depth=3, n_segments=0):
     # double-buffer, deepened
     q = deque()
 
+    gen = m.genome
+
     def account(batch, hits_per_read):
-        """Self-checking accuracy: reads carry their truth in the name."""
+        """Self-checking truth accuracy: reads carry (contig, pos, strand)
+        in the name; mapped global offsets resolve through genome.locate so
+        contig spacers can never skew the comparison (VERDICT.md r3 #1)."""
         nonlocal n_hits, n_correct, n_primary
         from gnumap_tpu.utils.sim import parse_truth
         for i, hits in enumerate(hits_per_read):
@@ -166,10 +183,21 @@ def run_pipeline(cfg, gen, idx, recs, align_impl, depth=3, n_segments=0):
             if not hits:
                 continue
             n_primary += 1
-            _, tpos, tstrand = parse_truth(batch.names[i])
-            best = max(hits, key=lambda h: h.weight)
-            if abs(best.pos - tpos) <= 3 and best.strand == tstrand:
-                n_correct += 1
+            tcontig, tpos, tstrand = parse_truth(batch.names[i])
+            # a read is correct if the truth locus is among its co-best
+            # weighted hits (exact-repeat loci tie with identical integer
+            # scores; which tie the max() picks is arbitrary, the truth
+            # being retained at top weight is what the mapper controls)
+            best_w = max(h.weight for h in hits)
+            for h in hits:
+                if h.weight != best_w:
+                    continue
+                ci, off = gen.locate(h.pos)
+                if (gen.names[int(ci)] == tcontig
+                        and abs(int(off) - tpos) <= 3
+                        and h.strand == tstrand):
+                    n_correct += 1
+                    break
 
     for b in batches:
         q.append((b, m.submit(b)))
