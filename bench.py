@@ -344,12 +344,16 @@ def jnp_arr(x):
 
 def run_stream_snp(cfg, gen, idx, recs, align_impl, depth=3):
     """SNP-mode measurement: the FULL map_stream (posterior -> coverage +
-    per-base tally scatter-add), not just submit/finish — tally cost is the
-    thing being measured."""
+    per-base tally accumulation), not just submit/finish — tally cost is
+    the thing being measured.  On the pallas path the [FROZEN v5] device
+    accumulation runs (coverage/tallies on device, 4-int fetch per batch —
+    VERDICT.md r3 missing #1); jnp falls back to host accumulation."""
     from gnumap_tpu.io import fastq as io_fastq
     from gnumap_tpu.pipeline import mapper as pl
 
-    m = pl.TpuMapper(gen, idx, cfg, align_impl=align_impl)
+    acc_impl = "device" if align_impl == "pallas" else "host"
+    m = pl.TpuMapper(gen, idx, cfg, align_impl=align_impl,
+                     accumulate=acc_impl)
     batches = list(io_fastq.batch_reads(iter(recs), cfg))
     m.map_batch(batches[0])
     prev = None
@@ -360,12 +364,13 @@ def run_stream_snp(cfg, gen, idx, recs, align_impl, depth=3):
         if prev is not None and abs(cur - prev) <= 0.05 * max(prev, 1e-9):
             break
         prev = cur
+    if acc_impl == "device":
+        m.reset_accumulators()        # drop the warmup batches' mass
     t0 = time.perf_counter()
     res = pl.map_stream(m, iter(batches), collect_sam=False)
     dt = time.perf_counter() - t0
-    acc = res.stats.n_mapped / max(res.stats.n_reads, 1)  # mapped rate
     assert res.tallies is not None and res.tallies.sum() > 0
-    return dt, res.stats, res.stats.n_candidates, acc
+    return dt, res.stats, res.stats.n_candidates, None
 
 
 def bench_config(cfgnum, args, impl, with_baseline):
@@ -375,6 +380,11 @@ def bench_config(cfgnum, args, impl, with_baseline):
     if CONFIGS[cfgnum].get("snp"):
         dt, stats, n_hits, acc = run_stream_snp(cfg, gen, idx, recs, impl,
                                                 depth=args.depth)
+        # `accuracy` means TRUTH accuracy in every ladder entry (VERDICT.md
+        # r3 weak #4); hits never reach the host on the device-accumulation
+        # path, so run the hit-returning pipeline once more, untimed
+        _, _, _, acc = run_pipeline(cfg, gen, idx, recs, impl,
+                                    depth=args.depth)
     else:
         dt, stats, n_hits, acc = run_pipeline(
             cfg, gen, idx, recs, impl, depth=args.depth,
@@ -391,7 +401,9 @@ def bench_config(cfgnum, args, impl, with_baseline):
         "value": round(reads_per_s, 1), "unit": "reads/s",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
         "reads": stats.n_reads, "mapped": stats.n_mapped,
-        "accuracy": round(acc, 4), "multi_mapped": stats.n_multi,
+        "accuracy": round(acc, 4),
+        "mapped_rate": round(stats.n_mapped / max(stats.n_reads, 1), 4),
+        "multi_mapped": stats.n_multi,
         "dp_cells_per_s_device": round(cells_per_s / 1e9, 3),
         "dp_unit": "Gcells/s",
         "device_s": round(stats.device_s, 3),

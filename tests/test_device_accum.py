@@ -1,0 +1,84 @@
+"""[FROZEN v5] device accumulation vs the exact host path.
+
+The device path (pipeline.mapper.device_accumulate) accumulates coverage /
+SNP tallies in f32 on device with XLA's deterministic scatter order; the
+host path keeps the frozen hit-ordered float64 contract.  Contract here:
+same mapped/multi counts, coverage/tallies equal to f32 tolerance,
+run-to-run determinism bit-exact, and SAM records byte-identical.
+"""
+
+import numpy as np
+
+from conftest import records_from_sim
+from gnumap_tpu.config import MapperConfig
+from gnumap_tpu.index import builder
+from gnumap_tpu.io import fastq as io_fastq
+from gnumap_tpu.pipeline import mapper as pl
+from gnumap_tpu.utils import sim
+
+
+def _workload(snp, lazy_pwm=False, n=96, sam=False):
+    cfg = MapperConfig(mer_size=8, seed_jump=4, batch_size=64,
+                       max_read_len=40, align_score_ratio=0.8,
+                       sam_out=sam, sgr_out=True, snp_mode=snp)
+    genome = sim.random_genome(20_000, seed=3, repeat_frac=0.05,
+                               repeat_unit=60)
+    gen = builder.Genome.from_contigs([("t", genome)])
+    idx = builder.build_index(gen, cfg)
+    reads = sim.simulate_reads(genome, n, 36, seed=4, sub_rate=0.02,
+                               indel_rate=0.15, contig="t")
+    recs = records_from_sim(reads, cfg)
+    if lazy_pwm:
+        recs = [io_fastq.ReadRecord(r.name, r.codes, None, r.quals)
+                for r in recs]
+    return cfg, gen, idx, recs
+
+
+def _run(cfg, gen, idx, recs, accumulate):
+    m = pl.TpuMapper(gen, idx, cfg, align_impl="pallas",
+                     finish_impl="device", accumulate=accumulate)
+    res = pl.map_stream(m, io_fastq.batch_reads(iter(recs), cfg),
+                        collect_sam=cfg.sam_out)
+    return res
+
+
+def test_device_accum_matches_host_coverage():
+    cfg, gen, idx, recs = _workload(snp=False)
+    rh = _run(cfg, gen, idx, recs, "host")
+    rd = _run(cfg, gen, idx, recs, "device")
+    assert rd.stats.n_mapped == rh.stats.n_mapped
+    assert rd.stats.n_multi == rh.stats.n_multi
+    assert rd.stats.n_candidates == rh.stats.n_candidates
+    np.testing.assert_allclose(rd.coverage, rh.coverage,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_device_accum_matches_host_snp_tallies():
+    cfg, gen, idx, recs = _workload(snp=True, lazy_pwm=True)
+    rh = _run(cfg, gen, idx, recs, "host")
+    rd = _run(cfg, gen, idx, recs, "device")
+    assert rd.stats.n_mapped == rh.stats.n_mapped
+    np.testing.assert_allclose(rd.coverage, rh.coverage,
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(rd.tallies, rh.tallies,
+                               rtol=1e-5, atol=1e-5)
+    # every aligned base deposits PWM mass: total tally mass tracks the
+    # per-base mass of coverage (ins/del hits shift it slightly)
+    assert rd.tallies.sum() > 0.9 * rh.tallies.sum() > 0
+
+
+def test_device_accum_deterministic():
+    cfg, gen, idx, recs = _workload(snp=True)
+    r1 = _run(cfg, gen, idx, recs, "device")
+    r2 = _run(cfg, gen, idx, recs, "device")
+    assert np.array_equal(r1.coverage, r2.coverage)
+    assert np.array_equal(r1.tallies, r2.tallies)
+
+
+def test_device_accum_sam_records_identical():
+    cfg, gen, idx, recs = _workload(snp=False, sam=True)
+    rh = _run(cfg, gen, idx, recs, "host")
+    rd = _run(cfg, gen, idx, recs, "device")
+    assert rh.sam_lines == rd.sam_lines
+    np.testing.assert_allclose(rd.coverage, rh.coverage,
+                               rtol=1e-5, atol=1e-5)
