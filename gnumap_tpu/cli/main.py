@@ -248,11 +248,23 @@ def main(argv=None) -> int:
                                   args.index_shards)
     if index is None:
         # segmented path (genome > int32 or --segments N): per-segment
-        # int32 indexes, global int64 coordinates, union posteriors
+        # int32 indexes, global int64 coordinates, union posteriors.
+        # With --num-hosts R this becomes the GENOME-PARTITIONED mode
+        # (the reference's RAM-bound MPI layout): host h owns segments
+        # h, h+R, ... and maps EVERY read batch against them; posterior
+        # denominators reduce across hosts per batch and the coverage
+        # tracks merge bit-exactly (dist/segments.py docstring).
+        if multi and cfg.sam_out:
+            raise SystemExit(
+                "genome-partitioned multi-host runs (--segments with "
+                "--num-hosts > 1) emit coverage/SNP tracks only: add "
+                "--no-sam (per-read SAM records are split across hosts)")
         from gnumap_tpu.dist.segments import GlobalSegmentedMapper
         t0 = time.perf_counter()
         m = GlobalSegmentedMapper(genome, cfg, align_impl=impl,
-                                  n_segments=n_segments, mesh=mesh)
+                                  n_segments=n_segments, mesh=mesh,
+                                  num_hosts=args.num_hosts,
+                                  host_id=args.host_id)
         t_index += time.perf_counter() - t0
     elif mesh is not None:
         from gnumap_tpu.dist import collectives
@@ -334,9 +346,12 @@ def main(argv=None) -> int:
             for c in callbacks:
                 c(idx, s)
     # multi-host read partition: byte ranges for a plain single FASTQ
-    # (each host parses only ~1/R of the file); batch stride otherwise
+    # (each host parses only ~1/R of the file); batch stride otherwise.
+    # Genome-partitioned mode BROADCASTS reads instead (every host maps
+    # every batch against its own segments — SURVEY.md §3.5 RAM-bound).
+    genome_partitioned = multi and index is None
     byte_range_mode = (
-        multi and len(args.reads) == 1
+        multi and not genome_partitioned and len(args.reads) == 1
         and not args.reads[0].endswith(("_prb.txt", ".prb", "_int.txt",
                                         ".int", ".fa", ".fasta", ".gz")))
     if byte_range_mode:
@@ -353,7 +368,7 @@ def main(argv=None) -> int:
         batches = _range_batches()
     else:
         batches = batch_stream(args.reads, cfg, args.adaptor)
-        if multi:
+        if multi and not genome_partitioned:
             batches = multihost.strided(batches, args.num_hosts,
                                         args.host_id)
     t1 = time.perf_counter()

@@ -164,19 +164,38 @@ class GlobalSegmentedMapper:
     array (no copies); each segment's mapper may itself be a sharded
     DistMapper (``mesh=``), composing genome partitioning with the
     reads x index device mesh.
+
+    **Genome-partitioned multi-host mode** (``num_hosts`` > 1, the
+    reference's RAM-bound MPI layout — SURVEY.md §3.5: genome partitioned
+    across ranks, reads broadcast): host h builds mappers ONLY for the
+    segments it owns (round-robin ``s % num_hosts == host_id``) and maps
+    EVERY read batch against them.  Posterior weights stay globally exact:
+    per-batch, each host's per-read retained-score sums allreduce
+    (dist.multihost.allreduce_f64 — exact, the scores are integers far
+    below 2^53) and every host normalizes its local hits by the GLOBAL
+    total, so coverage contributions are bit-identical to the
+    single-process segmented run; the final cross-host coverage reduce
+    (each genome position is owned by exactly one host, peers contribute
+    exact zeros) reproduces it byte-for-byte (tests/test_multihost.py).
     """
 
     def __init__(self, genome: builder.Genome, cfg: MapperConfig,
                  align_impl: str = "jnp", max_bases: int = SEG_LIMIT,
-                 n_segments: int = 0, mesh=None, finish_impl=None):
+                 n_segments: int = 0, mesh=None, finish_impl=None,
+                 num_hosts: int = 1, host_id: int = 0):
         self.genome = genome
         self.cfg = cfg
+        self.num_hosts = num_hosts
+        self.host_id = host_id
         self.bounds = segment_bounds(genome, max_bases, n_segments)
         total = len(genome.codes)
         ends = np.concatenate([genome.starts[1:], [total]]).astype(np.int64)
         self.mappers = []
         self.bases: List[int] = []
-        for ci_lo, ci_hi in self.bounds:
+        self.owned: List[int] = []
+        for si, (ci_lo, ci_hi) in enumerate(self.bounds):
+            if si % num_hosts != host_id:
+                continue
             lo = int(genome.starts[ci_lo])
             hi = int(ends[ci_hi - 1])
             sub = builder.Genome(
@@ -195,14 +214,16 @@ class GlobalSegmentedMapper:
                                  finish_impl=finish_impl)
             self.mappers.append(m)
             self.bases.append(lo)
+            self.owned.append(si)
 
     @property
     def n_segments(self) -> int:
-        return len(self.mappers)
+        """Total segments in the partition (across all hosts)."""
+        return len(self.bounds)
 
     # -- TpuMapper-compatible surface (map_stream pipelines through it) --
     def submit(self, batch: ReadBatch):
-        if not hasattr(self.mappers[0], "submit"):
+        if not self.mappers or not hasattr(self.mappers[0], "submit"):
             return None                       # DistMapper: sync map_batch
         return [m.submit(batch) for m in self.mappers]
 
@@ -214,7 +235,18 @@ class GlobalSegmentedMapper:
         else:
             per = [m.finish(batch, f, seg_stats)
                    for m, f in zip(self.mappers, futs)]
-        out = self._merge_global(per)
+        totals = None
+        if self.num_hosts > 1:
+            # global per-read posterior denominators: exact f64 sums of
+            # integer scores, reduced across hosts (see class docstring)
+            from gnumap_tpu.dist import multihost
+            loc = np.zeros(batch.n, np.float64)
+            for seg_hits in per:
+                for b, hits in enumerate(seg_hits):
+                    for h in hits:
+                        loc[b] += h.score
+            totals = multihost.allreduce_f64(loc)
+        out = self._merge_global(per, totals=totals, n=batch.n)
         if stats is not None:
             stats.n_reads += batch.n
             stats.n_mapped += sum(1 for hh in out if hh)
@@ -229,11 +261,15 @@ class GlobalSegmentedMapper:
                   stats: "pl.BatchStats | None" = None):
         return self.finish(batch, self.submit(batch), stats)
 
-    def _merge_global(self, per_segment) -> List[List[pl.ReadHit]]:
-        """Union per-read hits across segments in GLOBAL coordinates and
-        renormalize weights over the union (frozen posterior semantics:
-        w_i = s_i / sum over ALL retained loci)."""
-        n = len(per_segment[0])
+    def _merge_global(self, per_segment, totals=None,
+                      n: "int | None" = None) -> List[List[pl.ReadHit]]:
+        """Union per-read hits across (locally owned) segments in GLOBAL
+        coordinates and renormalize weights over the union (frozen
+        posterior semantics: w_i = s_i / sum over ALL retained loci).
+        ``totals`` carries the cross-host global denominators in
+        genome-partitioned multi-host mode."""
+        if n is None:
+            n = len(per_segment[0])
         out: List[List[pl.ReadHit]] = []
         for b in range(n):
             hits: List[pl.ReadHit] = []
@@ -241,7 +277,8 @@ class GlobalSegmentedMapper:
                 for h in seg_hits[b]:
                     hits.append(pl.ReadHit(h.strand, base + h.pos, h.score,
                                            0.0, h.cigar, h.ref_len))
-            total = float(sum(h.score for h in hits))
+            total = (float(totals[b]) if totals is not None
+                     else float(sum(h.score for h in hits)))
             for h in hits:
                 h.weight = h.score / total if total else 0.0
             hits.sort(key=lambda h: (h.pos, 0 if h.strand == "+" else 1))

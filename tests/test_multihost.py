@@ -75,6 +75,47 @@ def test_two_process_matches_single(tmp_path):
     assert not list(tmp_path.glob("multi.sam.host*"))
 
 
+def test_two_process_segmented_matches_single(tmp_path):
+    """Genome-partitioned multi-host mode (VERDICT.md r3 next-#8; the
+    reference's RAM-bound MPI layout, SURVEY.md §3.5): host h owns
+    segment h, reads broadcast; per-read posterior denominators reduce
+    across hosts.  Coverage/SNP tracks must be byte-identical to the
+    single-process segmented run."""
+    g = sim.random_genome(12_000, seed=91, repeat_frac=0.04)
+    # two contigs so --segments 2 splits contig-aligned; reads simulated
+    # per contig with contig-local truth
+    sim.write_fasta(str(tmp_path / "g.fa"),
+                    [("cA", g[:6000]), ("cB", g[6000:])])
+    reads = (sim.simulate_reads(g[:6000], 48, 40, seed=92, contig="cA",
+                                indel_rate=0.05)
+             + sim.simulate_reads(g[6000:], 48, 40, seed=93, contig="cB"))
+    sim.write_fastq(str(tmp_path / "r.fq"), reads)
+
+    common = ["-g", str(tmp_path / "g.fa"), str(tmp_path / "r.fq"),
+              "-m", "9", "-j", "4", "-L", "44", "-B", "16", "--snp",
+              "--segments", "2", "--no-sam"]
+
+    p = _run_cli(["-o", str(tmp_path / "single")] + common)
+    out, err = p.communicate(timeout=420)
+    assert p.returncode == 0, err[-2000:]
+
+    coord = f"localhost:{_free_port()}"
+    procs = [
+        _run_cli(["-o", str(tmp_path / "multi"), "--num-hosts", "2",
+                  "--host-id", str(h), "--coordinator", coord] + common)
+        for h in range(2)
+    ]
+    outs = [p.communicate(timeout=420) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err[-2000:]
+
+    assert (tmp_path / "single.sgr").read_text() == \
+           (tmp_path / "multi.sgr").read_text()
+    assert (tmp_path / "single.sgrex").read_text() == \
+           (tmp_path / "multi.sgrex").read_text()
+    assert (tmp_path / "single.sgr").read_text().strip()
+
+
 def test_two_process_checkpoint_restart(tmp_path):
     """Kill both hosts mid-run (fault injection), restart from per-host
     checkpoints: merged outputs byte-identical to the uninterrupted
