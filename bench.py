@@ -65,6 +65,17 @@ CONFIGS = {
             genome_len=46_709_983, n_reads=16_384, read_len=100, mer=13,
             jump=5, max_read_len=104, repeat_frac=0.02, bisulfite=False,
             segments=2),
+    # Multi-map STRESS — the defining GNUMAP feature (SURVEY.md §0.5):
+    # 40 repeat families x 20 copies (within max_hits_per_seed), 25% of
+    # reads planted inside repeat copies, so thousands of reads retain
+    # ~20 co-best loci and the fractional posterior machinery carries
+    # real load (VERDICT.md r3 next-#5).  hit_capacity=4 sizes the
+    # device-finish blob for ~5 retained hits/read average.
+    8: dict(name="chr21-scale multi-map stress (40 families x 20 copies)",
+            genome_len=46_709_983, n_reads=16_384, read_len=100, mer=13,
+            jump=5, max_read_len=104, repeat_frac=0.0, bisulfite=False,
+            families=(40, 20, 300), repeat_read_frac=0.25,
+            max_hits=24, hit_capacity=4),
 }
 
 
@@ -81,11 +92,19 @@ def build_workload(n_reads, genome_len, batch_size, config=2):
     cfg = MapperConfig(mer_size=c["mer"], seed_jump=c["jump"],
                        batch_size=batch_size,
                        max_read_len=c["max_read_len"], max_candidates=32,
-                       max_hits_per_seed=8, sam_out=False, sgr_out=False,
+                       max_hits_per_seed=c.get("max_hits", 8),
+                       sam_out=False, sgr_out=False,
                        bisulfite=c["bisulfite"],
-                       snp_mode=c.get("snp", False))
-    genome = sim.random_genome(genome_len, seed=0,
-                               repeat_frac=c["repeat_frac"])
+                       snp_mode=c.get("snp", False),
+                       hit_capacity=c.get("hit_capacity", 1))
+    spots = None
+    if c.get("families"):
+        nf, cp, ul = c["families"]
+        genome, spots = sim.random_genome_families(
+            genome_len, seed=0, n_families=nf, copies=cp, unit_len=ul)
+    else:
+        genome = sim.random_genome(genome_len, seed=0,
+                                   repeat_frac=c["repeat_frac"])
     if c.get("segments"):
         # Two contigs so the segment boundary is contig-aligned.  Reads are
         # simulated PER CONTIG so their names carry contig-local truth
@@ -115,9 +134,27 @@ def build_workload(n_reads, genome_len, batch_size, config=2):
             idx = builder.build_bs_index(gen, cfg)
         else:
             idx = builder.build_index(gen, cfg)
-        reads = sim.simulate_reads(genome, n_reads, c["read_len"], seed=7,
-                                   sub_rate=0.01, contig="ref_sim",
-                                   bisulfite=c["bisulfite"])
+        if spots is not None and c.get("repeat_read_frac"):
+            # plant repeat_read_frac of the reads fully inside repeat-
+            # family copies: start anywhere in a copy with the whole
+            # read in-unit, so every copy is a co-best locus
+            n_rep = int(n_reads * c["repeat_read_frac"])
+            ul = c["families"][2]
+            allspots = np.concatenate(spots)
+            starts = (allspots[:, None] + np.arange(
+                0, ul - c["read_len"], 25)[None, :]).ravel()
+            reads = (sim.simulate_reads(genome, n_reads - n_rep,
+                                        c["read_len"], seed=7,
+                                        sub_rate=0.01, contig="ref_sim")
+                     + sim.simulate_reads(genome, n_rep, c["read_len"],
+                                          seed=9, sub_rate=0.01,
+                                          contig="ref_sim",
+                                          positions=starts))
+        else:
+            reads = sim.simulate_reads(genome, n_reads, c["read_len"],
+                                       seed=7, sub_rate=0.01,
+                                       contig="ref_sim",
+                                       bisulfite=c["bisulfite"])
     recs = []
     for r in reads:
         codes = packing.encode(r.seq)
@@ -445,6 +482,10 @@ def main():
         return
 
     import jax
+    if os.environ.get("JAX_PLATFORMS"):
+        # honor the user's backend pin even when the axon TPU plugin
+        # force-overrides JAX_PLATFORMS (same dance as cli/main.py)
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     from gnumap_tpu.utils import jaxcache
     jaxcache.enable()
     backend = jax.default_backend()

@@ -86,6 +86,15 @@ class MapperConfig:
     pallas_band_rows: int = 128    # banded-kernel reads per tile (x 2
                                    # candidate segments; 128 measured best
                                    # on v5e — 256 exceeds compile limits)
+    hit_capacity: int = 1          # device-finish retained-hit capacity,
+                                   # as a multiple of 2*batch (H = this x
+                                   # 2B).  Raise for multi-map-heavy
+                                   # workloads (repeat families average
+                                   # >2 retained loci/read) to keep the
+                                   # device-traceback fast path; capacity
+                                   # overflow falls back to the exact
+                                   # host path (or raises under device
+                                   # accumulation)
 
     # --- parallelism (reference: -c threads, MPI ranks) ---
     read_shards: int = 1         # mesh axis "reads" (data parallelism)

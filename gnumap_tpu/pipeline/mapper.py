@@ -277,7 +277,7 @@ def device_hit_rows(cfg: MapperConfig, cands, valid, scores, max_sc,
     per-hit rows shared by the fetch-blob tail (device_tb_tail) and the
     on-device accumulation stage (device_accumulate)."""
     B2, C = cands.shape
-    H = B2
+    H = cfg.hit_capacity * B2
     assert B2 * C < (1 << 21), "flat_idx must fit 21 bits (w0 packing)"
     assert cfg.window_width() < (1 << 8), \
         "j_final must fit 8 bits (w0 packing): max_read_len <= 223"
@@ -320,14 +320,14 @@ def device_tb_tail(cfg: MapperConfig, cands, valid, scores, max_sc,
     (kept small: the axon tunnel fetches at ~25 MB/s, so every word here
     is on the per-batch critical path):
 
-      blob[:4*H]    per-hit meta x H=B2 rows:
+      blob[:4*H]    per-hit meta x H = hit_capacity*B2 rows:
                       w0 = flat_idx | (j_final << 21)   (-1 = empty slot)
                       w1 = cand,  w2 = score,  w3 = indel_slot (-1 = none)
       blob[4*H:-3]  compacted ops of the K = max(64, H/32) indel-bearing
                     hits (indels are rare; overflow -> host fallback)
       blob[-3:]     [n_keep, n_valid, n_indel]
     """
-    H = cands.shape[0]
+    H = cfg.hit_capacity * cands.shape[0]
     if rows is None:
         rows = device_hit_rows(cfg, cands, valid, scores, max_sc,
                                emis2, lens2, g_words, interpret)
@@ -361,7 +361,7 @@ def device_tb_tail(cfg: MapperConfig, cands, valid, scores, max_sc,
 
 def tb_blob_len(cfg: MapperConfig, B: int) -> int:
     """Host-side length of the device_tb_tail blob for a B-read batch."""
-    H = 2 * B
+    H = cfg.hit_capacity * 2 * B
     K = max(64, H // 32)
     Lp = ((cfg.max_read_len + 7) // 8) * 8
     return 4 * H + K * (Lp // 2) + 3
@@ -468,7 +468,7 @@ def decode_tb_blob(cfg: MapperConfig, B: int, n: int, lens_np, blob,
     or None on capacity overflow (caller falls back to the full-fetch host
     path)."""
     C = cfg.max_candidates
-    H = 2 * B
+    H = cfg.hit_capacity * 2 * B
     K = max(64, H // 32)
     meta_all = blob[:4 * H].reshape(H, 4)
     n_keep = int(blob[-3])
@@ -926,7 +926,7 @@ class TpuMapper:
         accumulate='host' for workloads that overflow."""
         cfg = self.cfg
         B = batch.codes.shape[0]
-        H = 2 * B
+        H = cfg.hit_capacity * 2 * B
         t0 = time.perf_counter()
         arr = _materialize(dev_out)
         t1 = time.perf_counter()

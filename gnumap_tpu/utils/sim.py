@@ -43,6 +43,31 @@ def random_genome(length: int, seed: int = 0, repeat_frac: float = 0.0,
     return packing.decode(codes)
 
 
+def random_genome_families(length: int, seed: int = 0,
+                           n_families: int = 40, copies: int = 20,
+                           unit_len: int = 300):
+    """Random genome with moderate-multiplicity repeat FAMILIES: each
+    family's unit is stamped ``copies`` times at random spots — the 5-50
+    copy regime (within a sane max_hits_per_seed) where reads from a
+    repeat retain every copy as a co-best locus and the fractional
+    posterior actually exercises (config 3 of BASELINE; VERDICT.md r3
+    next-#5 — its tandem ~1,868-copy repeat only exceeded the seed cap).
+
+    Returns (genome_str, spots) where spots[f] = sorted int array of
+    family f's copy start positions (later stamps may overwrite earlier
+    ones; reads sampled at a recorded spot still carry correct truth)."""
+    rng = np.random.default_rng(seed)
+    codes = rng.integers(0, 4, size=length, dtype=np.int8)
+    spots_all = []
+    for _ in range(n_families):
+        unit = rng.integers(0, 4, size=unit_len, dtype=np.int8)
+        spots = rng.integers(0, max(1, length - unit_len), size=copies)
+        for s in spots:
+            codes[s:s + unit_len] = unit
+        spots_all.append(np.sort(spots))
+    return packing.decode(codes), spots_all
+
+
 @dataclasses.dataclass
 class SimRead:
     name: str       # encodes truth: sim_<idx>_<contig>_<pos0>_<strand>
@@ -57,20 +82,27 @@ def simulate_reads(genome: str, n_reads: int, read_len: int, seed: int = 1,
                    qual_lo: int = 20, qual_hi: int = 40,
                    indel_rate: float = 0.0,
                    bisulfite: bool = False,
-                   methylation_rate: float = 0.2) -> List[SimRead]:
+                   methylation_rate: float = 0.2,
+                   positions=None) -> List[SimRead]:
     """Uniform sampling of both strands with quality-correlated base errors;
     ``indel_rate`` = per-read probability of one 1-2bp insertion or deletion
     (exercises gapped-alignment CIGARs end to end).  ``bisulfite`` converts
     unmethylated fragment Cs to T before strand flip (the GNUMAP-bs
     workload: read T over genome C on +, read A over genome G on -);
-    ``methylation_rate`` of Cs stay protected."""
+    ``methylation_rate`` of Cs stay protected.  ``positions`` (optional
+    int array) restricts start-position sampling to those values — used
+    to plant reads inside repeat-family copies (multi-map stress)."""
     rng = np.random.default_rng(seed)
     g = packing.encode(genome)
     G = len(g)
     assert G >= read_len
     reads: List[SimRead] = []
     for idx in range(n_reads):
-        pos = int(rng.integers(0, G - read_len - 4 + 1))
+        if positions is not None:
+            pos = int(positions[int(rng.integers(0, len(positions)))])
+            pos = min(pos, G - read_len - 4)
+        else:
+            pos = int(rng.integers(0, G - read_len - 4 + 1))
         strand = "+" if rng.random() < 0.5 else "-"
         frag = g[pos:pos + read_len].copy()
         if indel_rate > 0 and rng.random() < indel_rate and read_len > 12:
