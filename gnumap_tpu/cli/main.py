@@ -74,6 +74,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--align-impl", choices=["jnp", "pallas", "auto"],
                    default="auto",
                    help="DP kernel: Pallas on TPU, jnp elsewhere (auto)")
+    p.add_argument("--accumulate", choices=["host", "device"],
+                   default="host",
+                   help="coverage/SNP-tally accumulation: 'host' = exact "
+                        "hit-ordered float64 (default, the golden "
+                        "semantics); 'device' = [FROZEN v5] on-device f32 "
+                        "scatter-add, fetched only at checkpoints/end "
+                        "(fastest; single-device pallas path only)")
     p.add_argument("--checkpoint", default=None,
                    help="stream-state checkpoint file; resumes if present")
     p.add_argument("--checkpoint-every", type=int, default=16,
@@ -246,6 +253,10 @@ def main(argv=None) -> int:
         from gnumap_tpu.dist import mesh as mesh_mod
         mesh = mesh_mod.make_mesh(args.read_shards or None,
                                   args.index_shards)
+    if args.accumulate == "device" and (index is None or mesh is not None):
+        raise SystemExit("--accumulate device is the single-device "
+                         "TpuMapper path; segmented and sharded runs "
+                         "use host accumulation")
     if index is None:
         # segmented path (genome > int32 or --segments N): per-segment
         # int32 indexes, global int64 coordinates, union posteriors.
@@ -271,7 +282,11 @@ def main(argv=None) -> int:
         m = collectives.DistMapper(genome, index, cfg, mesh,
                                    align_impl=impl)
     else:
-        m = pl.TpuMapper(genome, index, cfg, align_impl=impl)
+        if args.accumulate == "device" and impl != "pallas":
+            raise SystemExit("--accumulate device needs the pallas path "
+                             "(TPU backend or --align-impl pallas)")
+        m = pl.TpuMapper(genome, index, cfg, align_impl=impl,
+                         accumulate=args.accumulate)
     sam_path = args.output + ".sam"
     sam_f = sam_bin = None
     spans: list = []
