@@ -254,7 +254,8 @@ def _gather_windows(cands, valid, genome_words, W, Wroll, slack):
 def _nw_band_kernel(meta_ref, rows_ref, win_ref, out_ref,
                     m_ref, ix_ref, iy_ref, cap_ref, *,
                     L: int, W: int, Wroll: int, boff: int, bw: int,
-                    n_seg: int, open_q: int, ext_q: int, S: int):
+                    n_seg: int, open_q: int, ext_q: int, S: int,
+                    unroll: int = 1):
     """One tile: S reads x n_seg candidate slots, bw-lane band per slot.
 
     meta_ref: SMEM (1, 1, 1, 2) int32    [skip, max_len_of_read_group]
@@ -306,9 +307,9 @@ def _nw_band_kernel(meta_ref, rows_ref, win_ref, out_ref,
                        (s * bw + boff) % Wroll, 1)
             for s in range(n_seg))
 
-        def row(k, carry):
-            m0, ix0 = carry[-2:]
-            wrs = carry[:-2]
+        def one_row(k, m0, ix0, wrs):
+            """DP row k+1; wrs views are pre-rolled for this row.
+            Returns (m0', ix0') — state refs updated in place."""
             i = k + 1
             slab = rows_ref[0, k]                # (S, 8)
             opn = slab[:, 5:6]
@@ -344,23 +345,51 @@ def _nw_band_kernel(meta_ref, rows_ref, win_ref, out_ref,
             fin = jnp.maximum(jnp.maximum(M_new, Ix_new), ix0_new)
             cap_ref[:, :] = jnp.where(endf, fin, cap_ref[:, :])
             m0_new = jnp.full((S, 1), NEG_INF, jnp.int32)
-            return tuple(pltpu.roll(w, Wroll - 1, 1) for w in wrs) + (
-                m0_new, ix0_new)
+            return m0_new, ix0_new
 
-        jax.lax.fori_loop(
-            0, maxlen, row,
-            wrs + (jnp.zeros((S, 1), jnp.int32),
-                   jnp.full((S, 1), NEG_INF, jnp.int32)))
+        if unroll == 2:
+            # two DP rows per fori iteration: halves the loop's fixed
+            # costs (dynamic slab indexing, bookkeeping, carry shuffle);
+            # row 2k+1 beyond maxlen is a frozen-free pad row (opn = ext
+            # = endf = 0), so running it never changes the captured
+            # scores, and Lp is even so the slab read stays in range
+            def row2(k2, carry):
+                m0, ix0 = carry[-2:]
+                wrs = carry[:-2]
+                m0, ix0 = one_row(2 * k2, m0, ix0, wrs)
+                wrs1 = tuple(pltpu.roll(w, Wroll - 1, 1) for w in wrs)
+                m0, ix0 = one_row(2 * k2 + 1, m0, ix0, wrs1)
+                return tuple(pltpu.roll(w, Wroll - 2, 1) for w in wrs) + (
+                    m0, ix0)
+
+            jax.lax.fori_loop(
+                0, (maxlen + 1) // 2, row2,
+                wrs + (jnp.zeros((S, 1), jnp.int32),
+                       jnp.full((S, 1), NEG_INF, jnp.int32)))
+        else:
+            def row(k, carry):
+                m0, ix0 = carry[-2:]
+                wrs = carry[:-2]
+                m0, ix0 = one_row(k, m0, ix0, wrs)
+                return tuple(pltpu.roll(w, Wroll - 1, 1) for w in wrs) + (
+                    m0, ix0)
+
+            jax.lax.fori_loop(
+                0, maxlen, row,
+                wrs + (jnp.zeros((S, 1), jnp.int32),
+                       jnp.full((S, 1), NEG_INF, jnp.int32)))
         out_ref[0, 0] = cap_ref[:, :]
 
 
 @functools.partial(jax.jit,
                    static_argnames=("L", "W", "slack", "boff", "bw",
-                                    "open_q", "ext_q", "interpret", "rpt"))
+                                    "open_q", "ext_q", "interpret", "rpt",
+                                    "unroll"))
 def nw_scores_banded(emis_t: jax.Array, cands: jax.Array, lens: jax.Array,
                      genome_words: jax.Array, *, L: int, W: int, slack: int,
                      boff: int, open_q: int, ext_q: int, bw: int = 64,
-                     interpret: bool = False, rpt: int = 128) -> jax.Array:
+                     interpret: bool = False, rpt: int = 128,
+                     unroll: int = 1) -> jax.Array:
     """Banded scores for every (read-strand, candidate) pair ([FROZEN v4]).
 
     emis_t:       int32[B2, 5, L]  emission tables, code-major
@@ -411,7 +440,7 @@ def nw_scores_banded(emis_t: jax.Array, cands: jax.Array, lens: jax.Array,
 
     kernel = functools.partial(
         _nw_band_kernel, L=L, W=W, Wroll=Wroll, boff=boff, bw=bw,
-        n_seg=n_seg, open_q=open_q, ext_q=ext_q, S=S)
+        n_seg=n_seg, open_q=open_q, ext_q=ext_q, S=S, unroll=unroll)
     out = pl.pallas_call(
         kernel,
         grid=(Gb, nt),

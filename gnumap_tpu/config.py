@@ -86,6 +86,10 @@ class MapperConfig:
     pallas_band_rows: int = 128    # banded-kernel reads per tile (x 2
                                    # candidate segments; 128 measured best
                                    # on v5e — 256 exceeds compile limits)
+    pallas_band_unroll: int = 1    # DP rows per banded-kernel loop step
+                                   # (2 halves loop fixed costs; rows past
+                                   # a read's end are frozen-free pads so
+                                   # scores are bit-identical either way)
     hit_capacity: int = 1          # device-finish retained-hit capacity,
                                    # as a multiple of 2*batch (H = this x
                                    # 2B).  Raise for multi-map-heavy

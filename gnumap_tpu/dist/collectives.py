@@ -141,7 +141,8 @@ class DistMapper:
                     slack=cfg.gap_slack, boff=cfg.band()[0],
                     bw=cfg.band()[1],
                     open_q=open_q, ext_q=ext_q,
-                    interpret=self._interpret)
+                    interpret=self._interpret,
+                    unroll=cfg.pallas_band_unroll)
             return nw_pallas.nw_scores_pallas(
                 emis2_t, cands, lens2, g_args[0],
                 L=cfg.max_read_len, W=cfg.window_width(),

@@ -777,7 +777,8 @@ class TpuMapper:
                         bw=cfg.band()[1],
                         open_q=open_q, ext_q=ext_q,
                         interpret=self._interpret,
-                        rpt=cfg.pallas_band_rows)[inv]
+                        rpt=cfg.pallas_band_rows,
+                        unroll=cfg.pallas_band_unroll)[inv]
                 else:
                     scores = nw_pallas.nw_scores_pallas(
                         emis2_t, cands[order], lens2[order], g_words,
