@@ -367,62 +367,112 @@ def tb_blob_len(cfg: MapperConfig, B: int) -> int:
     return 4 * H + K * (Lp // 2) + 3
 
 
+def acc_span(cfg: MapperConfig) -> int:
+    """Delta-window width for device accumulation (128-lane multiple
+    covering the widest possible alignment span, which is bounded by the
+    candidate window)."""
+    return ((cfg.window_width() + 127) // 128) * 128
+
+
+def _segmented(comb, vals, seg, reverse=False):
+    """Segmented associative scan over (vals, seg-ids); ids must be
+    grouped (sorted).  Standard operator: restart at id changes."""
+    def op(a, b):
+        va, sa = a
+        vb, sb = b
+        return jnp.where(sa == sb, comb(va, vb), vb), sb
+    if reverse:
+        out, _ = jax.lax.associative_scan(op, (vals[::-1], seg[::-1]))
+        return out[::-1]
+    out, _ = jax.lax.associative_scan(op, (vals, seg))
+    return out
+
+
 def device_accumulate(cfg: MapperConfig, B: int, pwm2, rows: dict,
-                      cov, tal, snp: bool):
+                      cov, tal, snp: bool, interpret: bool = False):
     """[FROZEN v5] On-device coverage / SNP-tally accumulation — the last
-    SURVEY.md §7-prescribed device-side stage ("coverage accumulation via
-    .at[].add() into a sharded coverage array"; VERDICT.md r3 missing #1).
+    SURVEY.md §7-prescribed device-side stage (VERDICT.md r3 missing #1).
 
     Per retained hit: dedupe by (read-strand row, final position) keeping
     the max score (ties keep either — the duplicates are bit-identical
-    contributions), posterior weights w = score / sum(scores of the read's
-    deduped hits), then scatter-add
+    contributions), posterior weights w = score / sum(scores of the
+    read's deduped hits), then accumulate
 
       coverage[pos : pos + ref_len]      += w                       (f32)
       tallies[genome_idx(read base i)]   += w * PWM[i] / PWM_SCALE  (f32)
 
     into DEVICE-RESIDENT arrays fetched only at checkpoint/stream end.
 
-    [FROZEN v5] semantics: accumulation order is XLA's deterministic
-    scatter-add order and arithmetic is float32 (TPU has no f64); the
-    host path (map_stream host accumulation) keeps the exact hit-ordered
-    float64 contract and remains the golden/oracle reference — device
+    TPU-native structure (NO scatter-adds — XLA lowers those to a
+    serialized ~18us/row loop on TPU, measured ~30 s/batch at chr21
+    scale):
+      * per-read weight denominators and hit counts via SEGMENTED
+        ASSOCIATIVE SCANS over the (read, row, pos, -score)-sorted hit
+        list (reads form contiguous segments after the sort);
+      * coverage/tally contributions as DENSE span-wide per-hit delta
+        windows built with pure elementwise/gather ops;
+      * deltas applied by the posterior.accum_pallas serial DMA
+        read-modify-write kernel (deterministic hit order, exact under
+        overlapping spans).
+
+    [FROZEN v5] semantics: f32 arithmetic in the kernel's serial hit
+    order (TPU has no f64); the host path keeps the exact hit-ordered
+    float64 contract and remains the golden reference — device
     accumulation is validated against it to f32 tolerance and for
     run-to-run determinism (tests/test_device_accum.py).  The f64
     conversion happens at the fetch boundary (fetch_accumulators).
 
+    cov is (1, Gpad) f32 and tal (Gpad, 4) f32 with Gpad = G + span
+    (the pad absorbs clipped out-of-range spans; fetch slices [:G]).
+
     Returns (cov', tal', stats_vec) with stats_vec int32[4] =
     [n_mapped, n_multi, n_valid_candidates, n_keep].
     """
+    from gnumap_tpu.config import PWM_SCALE
+    from gnumap_tpu.posterior import accum_pallas
     H = rows["valid_h"].shape[0]
     L = cfg.max_read_len
-    G = cov.shape[0]
+    span = acc_span(cfg)
+    Gpad = cov.shape[1]
     valid_h = rows["valid_h"]
     row_h, score_h, len_h = rows["row_h"], rows["score_h"], rows["len_h"]
     ops, jfin = rows["ops"], rows["jfin"]
     with jax.named_scope("acc_dedupe_weights"):
         pos_h = cfg.window_start(rows["cand_h"]) + jfin
         BIG = jnp.int32(2 ** 31 - 1)
+        read_id = row_h % B
+        k0 = jnp.where(valid_h, read_id, BIG)
         k1 = jnp.where(valid_h, row_h, BIG)
         k2 = jnp.where(valid_h, pos_h, BIG)
         iota = jnp.arange(H, dtype=jnp.int32)
-        sk1, sk2, _, sidx = jax.lax.sort((k1, k2, -score_h, iota),
-                                         num_keys=3)
+        sk0, sk1, sk2, sneg, sidx = jax.lax.sort(
+            (k0, k1, k2, -score_h, iota), num_keys=4)
         first = jnp.concatenate(
             [jnp.ones((1,), bool),
              (sk1[1:] != sk1[:-1]) | (sk2[1:] != sk2[:-1])])
-        win_sorted = first & (sk1 != BIG)
+        win_sorted = first & (sk0 != BIG)
+        sc_sorted = jnp.where(win_sorted, (-sneg).astype(jnp.float32), 0.0)
+        # per-read totals: forward segmented sum, then broadcast each
+        # read's final running sum backward (sums are nondecreasing, so
+        # a reverse segmented max propagates the segment total)
+        ps = _segmented(jnp.add, sc_sorted, sk0)
+        tot = _segmented(jnp.maximum, ps, sk0, reverse=True)
+        w_sorted = jnp.where(win_sorted,
+                             sc_sorted / jnp.maximum(tot, 1.0), 0.0)
+        w = jnp.zeros((H,), jnp.float32).at[sidx].set(w_sorted)
         win = jnp.zeros((H,), bool).at[sidx].set(win_sorted)
-        read_id = row_h % B
-        total = jnp.zeros((B,), jnp.float32).at[
-            jnp.where(win, read_id, B)].add(
-            score_h.astype(jnp.float32), mode="drop")
-        w = jnp.where(win, score_h.astype(jnp.float32)
-                      / jnp.maximum(total[read_id], 1.0), 0.0)
+    with jax.named_scope("acc_stats"):
+        pc = _segmented(jnp.add, win_sorted.astype(jnp.int32), sk0)
+        endseg = jnp.concatenate([sk0[1:] != sk0[:-1],
+                                  jnp.ones((1,), bool)]) & (sk0 != BIG)
+        n_mapped = jnp.sum((endseg & (pc >= 1)).astype(jnp.int32))
+        n_multi = jnp.sum((endseg & (pc >= 2)).astype(jnp.int32))
+        stats_vec = jnp.stack(
+            [n_mapped, n_multi, rows["n_valid"], rows["n_keep"]])
     with jax.named_scope("acc_walk"):
-        # genome index of read base i (0-based) = pos + exclusive-prefix of
-        # ((1 - is_insertion) + n_deletions_after) over earlier rows — the
-        # vectorized form of decode_ops' CIGAR walk
+        # genome index of read base i (0-based) = pos + exclusive-prefix
+        # of ((1 - is_insertion) + n_deletions_after) over earlier rows —
+        # the vectorized form of decode_ops' CIGAR walk
         opb = (ops[:, :L] & 1).astype(jnp.int32)
         dcnt = (ops[:, :L] >> 1).astype(jnp.int32)
         arL = jnp.arange(L, dtype=jnp.int32)[None, :]
@@ -431,30 +481,62 @@ def device_accumulate(cfg: MapperConfig, B: int, pwm2, rows: dict,
         cs = jnp.cumsum(step, axis=1) - step
         gidx = pos_h[:, None] + cs
         ref_len = jnp.sum(step, axis=1)
+    n_real = jnp.minimum(rows["n_keep"], H)
     with jax.named_scope("acc_coverage"):
-        W = cfg.window_width()
-        arw = jnp.arange(W, dtype=jnp.int32)[None, :]
-        cidx = pos_h[:, None] + arw
-        cok = (arw < ref_len[:, None]) & win[:, None] \
-            & (cidx >= 0) & (cidx < G)
-        cov = cov.at[jnp.where(cok, cidx, G)].add(
-            jnp.where(cok, w[:, None], 0.0), mode="drop")
+        base = jnp.clip(pos_h, 0, Gpad - span)
+        s = pos_h - base                        # 0 except genome-edge hits
+        kk = jnp.arange(span, dtype=jnp.int32)[None, :]
+        cov_delta = jnp.where(
+            (kk >= s[:, None]) & (kk < (s + ref_len)[:, None]),
+            w[:, None], 0.0)
+        cov = accum_pallas.apply_deltas(cov, base, cov_delta, n_real,
+                                        interpret=interpret)
     if snp:
         with jax.named_scope("acc_tallies"):
-            from gnumap_tpu.config import PWM_SCALE
-            pwm_sel = pwm2[row_h].astype(jnp.float32)      # (H, L, 4)
-            val = pwm_sel * (w[:, None, None] / PWM_SCALE)
-            tok = (opb == 0) & in_read & win[:, None] \
-                & (gidx >= 0) & (gidx < G)
-            tal = tal.at[jnp.where(tok, gidx, G)].add(
-                jnp.where(tok[:, :, None], val, 0.0), mode="drop")
-    with jax.named_scope("acc_stats"):
-        cnt = jnp.zeros((B + 1,), jnp.int32).at[
-            jnp.where(win, read_id, B)].add(1, mode="drop")[:B]
-        stats_vec = jnp.stack(
-            [jnp.sum((cnt > 0).astype(jnp.int32)),
-             jnp.sum((cnt > 1).astype(jnp.int32)),
-             rows["n_valid"], rows["n_keep"]])
+            val = pwm2[row_h].astype(jnp.float32) \
+                * (w[:, None, None] * (1.0 / PWM_SCALE))   # (H, L, 4)
+            # pure-match layout: genome column k sources read row k - s
+            idx = kk - s[:, None]
+            okp = (idx >= 0) & (idx < len_h[:, None])
+            tal_delta = jnp.take_along_axis(
+                val, jnp.clip(idx, 0, L - 1)[:, :, None], axis=1) \
+                * okp[:, :, None]
+            # gapped hits (rare): exact per-base columns via a compacted
+            # one-hot matmul, replacing those hits' delta rows
+            has_g = jnp.any((ops[:, :L] != 0) & in_read, axis=1) & valid_h
+            K = max(64, H // 32)
+            kg = jnp.cumsum(has_g.astype(jnp.int32)) - 1
+            slot = jnp.where(has_g, kg, K)
+            srcg = jnp.full((K,), 0, jnp.int32).at[slot].set(
+                iota, mode="drop")
+            tgtg = jnp.full((K,), H, jnp.int32).at[slot].set(
+                iota, mode="drop")
+            cg = (gidx - base[:, None])[srcg]              # (K, L)
+            okg = ((opb == 0) & in_read)[srcg] \
+                & (cg >= 0) & (cg < span)
+            valg = val[srcg]                               # (K, L, 4)
+
+            def chunk_fn(args):
+                c_c, ok_c, v_c = args
+                oh = ((c_c[:, :, None]
+                       == jnp.arange(span, dtype=jnp.int32)[None, None])
+                      & ok_c[:, :, None]).astype(jnp.float32)
+                # each genome column receives <= 1 read row, so the
+                # contraction has <= 1 nonzero term: exact in f32
+                return jnp.einsum("kls,klb->ksb", oh, v_c)
+
+            CH = 256
+            Kp = ((K + CH - 1) // CH) * CH
+            padk = ((0, Kp - K), (0, 0))
+            cg_p = jnp.pad(cg, padk)
+            okg_p = jnp.pad(okg, padk)
+            valg_p = jnp.pad(valg, ((0, Kp - K), (0, 0), (0, 0)))
+            delta_g = jax.lax.map(chunk_fn, (
+                cg_p.reshape(-1, CH, L), okg_p.reshape(-1, CH, L),
+                valg_p.reshape(-1, CH, L, 4))).reshape(Kp, span, 4)[:K]
+            tal_delta = tal_delta.at[tgtg].set(delta_g, mode="drop")
+            tal = accum_pallas.apply_deltas(tal, base, tal_delta, n_real,
+                                            interpret=interpret)
     return cov, tal, stats_vec
 
 
@@ -834,26 +916,37 @@ class TpuMapper:
     # [FROZEN v5] device accumulation (see device_accumulate)
     # ------------------------------------------------------------------
     def reset_accumulators(self):
-        """(Re)zero the device-resident coverage/tally arrays."""
+        """(Re)zero the device-resident coverage/tally arrays.  Arrays
+        are padded by one span so clipped genome-edge spans land in the
+        pad (sliced off at fetch) — the device analog of drop-mode."""
         G = len(self.genome.codes)
-        self._cov_dev = jnp.zeros((G,), jnp.float32)
-        self._tal_dev = (jnp.zeros((G, 4), jnp.float32)
+        Gpad = G + acc_span(self.cfg)
+        self._cov_dev = jnp.zeros((1, Gpad), jnp.float32)
+        self._tal_dev = (jnp.zeros((Gpad, 4), jnp.float32)
                          if self.cfg.snp_mode
-                         else jnp.zeros((1, 4), jnp.float32))
+                         else jnp.zeros((acc_span(self.cfg), 4),
+                                        jnp.float32))
 
     def fetch_accumulators(self):
         """Device f32 accumulators -> host float64 (the [FROZEN v5] fetch
         boundary).  Returns (coverage, tallies-or-None)."""
-        cov = np.asarray(self._cov_dev).astype(np.float64)
-        tal = (np.asarray(self._tal_dev).astype(np.float64)
+        G = len(self.genome.codes)
+        cov = np.asarray(self._cov_dev)[0, :G].astype(np.float64)
+        tal = (np.asarray(self._tal_dev)[:G].astype(np.float64)
                if self.cfg.snp_mode else None)
         return cov, tal
 
     def load_accumulators(self, cov, tal=None):
         """Resume from checkpointed host arrays (f64 -> f32)."""
-        self._cov_dev = jnp.asarray(np.asarray(cov), jnp.float32)
+        G = len(self.genome.codes)
+        pad = acc_span(self.cfg)
+        c = np.zeros((1, G + pad), np.float32)
+        c[0, :G] = np.asarray(cov)[:G]
+        self._cov_dev = jnp.asarray(c)
         if tal is not None and self.cfg.snp_mode:
-            self._tal_dev = jnp.asarray(np.asarray(tal), jnp.float32)
+            t = np.zeros((G + pad, 4), np.float32)
+            t[:G] = np.asarray(tal)[:G]
+            self._tal_dev = jnp.asarray(t)
 
     def _device_map_acc(self, codes, pwm_q, lens, *big):
         """Accumulate-path program 1: the full map + tb pipeline, emitting
@@ -895,7 +988,8 @@ class TpuMapper:
                     n_valid=nvk[0], n_keep=nvk[1])
         B = pwm2.shape[0] // 2
         return device_accumulate(self.cfg, B, pwm2, rows, cov, tal,
-                                 self.cfg.snp_mode)
+                                 self.cfg.snp_mode,
+                                 interpret=self._interpret)
 
     def _submit_acc(self, batch: ReadBatch):
         if batch.pwm_arr is None:
