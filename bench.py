@@ -489,6 +489,10 @@ def profile_stages(cfg, gen, idx, recs, impl, iters=4):
         table = m._split_big(big)[5]
         return codes, pl.device_pwm(codes, quals, l, table)
 
+    def h2d_fn(p, l, *big):
+        # pure upload + dispatch cost (trivial reduction of the input)
+        return jnp.sum(p.astype(jnp.int32)) + jnp.sum(l)
+
     def seed_fn(p, l, *big):
         codes, pwm_q = _pwm(p, l, big)
         idx_args, _, _, S_plus, S_minus, _ = m._split_big(big)
@@ -520,13 +524,15 @@ def profile_stages(cfg, gen, idx, recs, impl, iters=4):
             best = min(best, time.perf_counter() - t)
         return best
 
+    t_h2d = run(h2d_fn)
     t_seed = run(seed_fn)
     t_dp = run(dp_fn)
     t_tb = run(tb_fn)
     t_full = run(tb_fn, fetch_full=True)
     ms = lambda x: round(x * 1000.0, 1)
     return {"batch": int(b.codes.shape[0]),
-            "h2d_seed_ms": ms(t_seed),
+            "h2d_ms": ms(t_h2d),
+            "seed_ms": ms(t_seed - t_h2d),
             "dp_ms": ms(t_dp - t_seed),
             "traceback_ms": ms(t_tb - t_dp),
             "blob_fetch_ms": ms(t_full - t_tb)}
