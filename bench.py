@@ -485,7 +485,7 @@ def profile_stages(cfg, gen, idx, recs, impl, iters=4):
     import jax
 
     def _pwm(p, l, big):
-        codes, quals = pl.device_unpack(p)
+        codes, quals = pl.device_unpack(p, cfg.max_read_len)
         table = m._split_big(big)[5]
         return codes, pl.device_pwm(codes, quals, l, table)
 
