@@ -391,10 +391,19 @@ def tb_blob_len(cfg: MapperConfig, B: int) -> int:
 
 
 def acc_span(cfg: MapperConfig) -> int:
-    """Delta-window width for device accumulation (128-lane multiple
-    covering the widest possible alignment span, which is bounded by the
-    candidate window)."""
-    return ((cfg.window_width() + 127) // 128) * 128
+    """Delta-window width for device accumulation: a 128-multiple
+    covering the widest possible alignment span (bounded by the candidate
+    window) PLUS one 128 tile, because span starts are floor-aligned to
+    128 positions (TPU DMA slice offsets must be tile-aligned) and the
+    pos % 128 residue shifts the delta within the window."""
+    return ((cfg.window_width() + 127) // 128) * 128 + 128
+
+
+def acc_padded_len(cfg: MapperConfig, G: int) -> int:
+    """Accumulator length: genome + room for every clipped span, rounded
+    to the 128 tiling."""
+    span = acc_span(cfg)
+    return ((G + 2 * span + 127) // 128) * 128
 
 
 def _segmented(comb, vals, seg, reverse=False):
@@ -506,14 +515,17 @@ def device_accumulate(cfg: MapperConfig, B: int, pwm2, rows: dict,
         ref_len = jnp.sum(step, axis=1)
     n_real = jnp.minimum(rows["n_keep"], H)
     with jax.named_scope("acc_coverage"):
-        base = jnp.clip(pos_h, 0, Gpad - span)
-        s = pos_h - base                        # 0 except genome-edge hits
+        # span starts floor-align to 128 positions (DMA tiling); the
+        # residue s = pos - 128*units shifts the delta inside the window
+        base_units = jnp.clip(pos_h >> 7, 0, (Gpad - span) >> 7)
+        base = base_units << 7
+        s = pos_h - base
         kk = jnp.arange(span, dtype=jnp.int32)[None, :]
         cov_delta = jnp.where(
             (kk >= s[:, None]) & (kk < (s + ref_len)[:, None]),
             w[:, None], 0.0)
-        cov = accum_pallas.apply_deltas(cov, base, cov_delta, n_real,
-                                        interpret=interpret)
+        cov = accum_pallas.apply_deltas(cov, base_units, cov_delta,
+                                        n_real, interpret=interpret)
     if snp:
         with jax.named_scope("acc_tallies"):
             val = pwm2[row_h].astype(jnp.float32) \
@@ -558,8 +570,8 @@ def device_accumulate(cfg: MapperConfig, B: int, pwm2, rows: dict,
                 cg_p.reshape(-1, CH, L), okg_p.reshape(-1, CH, L),
                 valg_p.reshape(-1, CH, L, 4))).reshape(Kp, span, 4)[:K]
             tal_delta = tal_delta.at[tgtg].set(delta_g, mode="drop")
-            tal = accum_pallas.apply_deltas(tal, base, tal_delta, n_real,
-                                            interpret=interpret)
+            tal = accum_pallas.apply_deltas(tal, base_units, tal_delta,
+                                            n_real, interpret=interpret)
     return cov, tal, stats_vec
 
 
@@ -943,7 +955,7 @@ class TpuMapper:
         are padded by one span so clipped genome-edge spans land in the
         pad (sliced off at fetch) — the device analog of drop-mode."""
         G = len(self.genome.codes)
-        Gpad = G + acc_span(self.cfg)
+        Gpad = acc_padded_len(self.cfg, G)
         self._cov_dev = jnp.zeros((1, Gpad), jnp.float32)
         self._tal_dev = (jnp.zeros((Gpad, 4), jnp.float32)
                          if self.cfg.snp_mode
@@ -962,12 +974,12 @@ class TpuMapper:
     def load_accumulators(self, cov, tal=None):
         """Resume from checkpointed host arrays (f64 -> f32)."""
         G = len(self.genome.codes)
-        pad = acc_span(self.cfg)
-        c = np.zeros((1, G + pad), np.float32)
+        Gpad = acc_padded_len(self.cfg, G)
+        c = np.zeros((1, Gpad), np.float32)
         c[0, :G] = np.asarray(cov)[:G]
         self._cov_dev = jnp.asarray(c)
         if tal is not None and self.cfg.snp_mode:
-            t = np.zeros((G + pad, 4), np.float32)
+            t = np.zeros((Gpad, 4), np.float32)
             t[:G] = np.asarray(tal)[:G]
             self._tal_dev = jnp.asarray(t)
 

@@ -41,7 +41,10 @@ def _rmw_kernel(base_ref, nreal_ref, delta_ref, arr_ref, out_ref,
                 buf, sem_in, sem_out, *, ch: int, width: int, span: int):
     """Grid step g applies hits [g*ch, (g+1)*ch) serially.
 
-    base_ref:  SMEM (ch,)   span starts (pre-clipped to [0, G-span])
+    base_ref:  SMEM (ch,)   span starts in 128-POSITION UNITS (Mosaic
+                            must prove the HBM slice offset divisible by
+                            the (.,128) tiling, so the kernel multiplies
+                            an integer unit count by 128)
     nreal_ref: SMEM (1,)    number of real hits (tail chunks partially run)
     delta_ref: VMEM (ch, span) or (ch, span, width) delta windows
     out_ref:   ANY  (1, G) or (G, width) — aliased accumulator, RMW'd
@@ -54,7 +57,7 @@ def _rmw_kernel(base_ref, nreal_ref, delta_ref, arr_ref, out_ref,
 
         @pl.when(h < nreal_ref[0])
         def _():
-            b = base_ref[i]
+            b = base_ref[i] * 128
             if width == 1:
                 dst = out_ref.at[:, pl.ds(b, span)]
                 add = delta_ref[i][None, :]
@@ -75,18 +78,22 @@ def _rmw_kernel(base_ref, nreal_ref, delta_ref, arr_ref, out_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("ch", "interpret"))
-def apply_deltas(arr: jax.Array, base: jax.Array, deltas: jax.Array,
+def apply_deltas(arr: jax.Array, base_units: jax.Array, deltas: jax.Array,
                  n_real: jax.Array, *, ch: int = 256,
                  interpret: bool = False) -> jax.Array:
-    """arr[base_h : base_h + SPAN] += deltas[h] for h in [0, n_real).
+    """arr[128*base_units[h] : ... + span] += deltas[h], h in [0, n_real).
 
-    arr:    (1, G) f32 (coverage) or (G, width) f32 (tallies); donated /
-            aliased in place.
-    base:   int32[H] pre-clipped span starts, any order (serial exact).
-    deltas: f32[H, SPAN] or f32[H, SPAN, width].
-    n_real: int32[] — hits beyond it are skipped (padding).
+    arr:        (1, G) f32 (coverage) or (G, width) f32 (tallies);
+                donated / aliased in place.  G must be a multiple of 128
+                and every span must fit: 128*base_units + span <= G.
+    base_units: int32[H] span starts in 128-position units (callers fold
+                the pos%128 residue into the delta layout), any order
+                (serial, exact).
+    deltas:     f32[H, span] or f32[H, span, width]; span % 128 == 0.
+    n_real:     int32[] — hits beyond it are skipped (padding).
     """
-    H = base.shape[0]
+    H = base_units.shape[0]
+    base = base_units
     width = 1 if deltas.ndim == 2 else deltas.shape[2]
     span = deltas.shape[1]
     Hp = ((H + ch - 1) // ch) * ch
