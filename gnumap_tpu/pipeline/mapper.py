@@ -1154,7 +1154,16 @@ class TpuMapper:
         decoded = decode_tb_blob(cfg, B, batch.n, batch.lens, blob)
         if decoded is None:
             # capacity overflow (extreme repeat / indel batch): re-dispatch
-            # on the full-fetch host path — exact, just slower
+            # on the full-fetch host path — exact, just slower (compiles
+            # the packed program + ships the full PWM on first use; raise
+            # cfg.hit_capacity if this fires on every batch)
+            import logging
+            logging.getLogger(__name__).warning(
+                "device-finish hit-capacity overflow "
+                "(n_keep=%d n_indel=%d, H=%d K=%d): host-path fallback",
+                int(blob[-3]), int(blob[-1]),
+                cfg.hit_capacity * 2 * B,
+                max(64, cfg.hit_capacity * 2 * B // 32))
             return self.finish_host(
                 batch, self._map_packed(jnp.asarray(batch.codes),
                                         jnp.asarray(batch.pwm_q),
