@@ -600,34 +600,45 @@ def decode_tb_blob(cfg: MapperConfig, B: int, n: int, lens_np, blob,
     jfin = (meta[:, 0] >> 21) & 0xFF
     rows = flat_idx // C
     b_idx = rows % B
-    minus = rows >= B
+    minus = (rows >= B).astype(np.int8)
     pos = cfg.window_start(meta[:, 1]) + jfin
     lens_h = lens_np[b_idx]
     islot = meta[:, 3]
+    sc = meta[:, 2]
     out: List[List[ReadHit]] = [[] for _ in range(n)]
-    per_read: Dict[int, Dict[Tuple[str, int], ReadHit]] = {}
-    for h in range(n_keep):
+    # Vectorized dedupe + weights (the per-hit dict loop was ~40us/hit —
+    # the host ceiling on multi-map-heavy batches).  Frozen semantics
+    # preserved: dedupe by (read, strand, pos) keeping max score with
+    # FIRST-in-hit-order winning ties (stable lexsort), weights
+    # normalized over the deduped set in float64, output sorted by
+    # (pos, '+' before '-').
+    real = b_idx < n
+    idx = np.nonzero(real)[0]
+    if len(idx) == 0:
+        return out, n_keep, n_valid
+    order = idx[np.lexsort((-sc[idx], pos[idx], minus[idx], b_idx[idx]))]
+    bo, mo, po = b_idx[order], minus[order], pos[order]
+    first = np.empty(len(order), bool)
+    first[0] = True
+    first[1:] = (bo[1:] != bo[:-1]) | (mo[1:] != mo[:-1]) \
+        | (po[1:] != po[:-1])
+    winners = order[first]
+    totals = np.bincount(b_idx[winners],
+                         weights=sc[winners].astype(np.float64),
+                         minlength=n)
+    # emission order: (read, pos, strand) ascending
+    emit = winners[np.lexsort((minus[winners], pos[winners],
+                               b_idx[winners]))]
+    w_emit = sc[emit].astype(np.float64) / totals[b_idx[emit]]
+    for j, h in enumerate(emit):
         b = int(b_idx[h])
-        if b >= n:
-            continue
         L = int(lens_h[h])
         if islot[h] >= 0:
             cigar, rl = nw_pallas.decode_ops(ops_c[islot[h]], L)
         else:
             cigar, rl = f"{L}M", L
-        st = "-" if minus[h] else "+"
-        key = (st, int(pos[h]))
-        d = per_read.setdefault(b, {})
-        sc = int(meta[h, 2])
-        if key not in d or sc > d[key].score:
-            d[key] = ReadHit(st, int(pos[h]), sc, 0.0, cigar, rl)
-    for b, d in per_read.items():
-        hits = list(d.values())
-        total = float(sum(hh.score for hh in hits))
-        for hh in hits:
-            hh.weight = hh.score / total
-        hits.sort(key=lambda hh: (hh.pos, 0 if hh.strand == "+" else 1))
-        out[b] = hits
+        out[b].append(ReadHit("-" if minus[h] else "+", int(pos[h]),
+                              int(sc[h]), float(w_emit[j]), cigar, rl))
     return out, n_keep, n_valid
 
 
