@@ -454,8 +454,10 @@ def device_accumulate(cfg: MapperConfig, B: int, pwm2, rows: dict,
     run-to-run determinism (tests/test_device_accum.py).  The f64
     conversion happens at the fetch boundary (fetch_accumulators).
 
-    cov is (1, Gpad) f32 and tal (Gpad, 4) f32 with Gpad = G + span
-    (the pad absorbs clipped out-of-range spans; fetch slices [:G]).
+    cov is (Gpad//128, 128) f32 (position p at [p//128, p%128] — the
+    DMA-friendly row layout) and tal (Gpad, 4) f32, Gpad = G padded by
+    2 spans and rounded to 128 (the pad absorbs clipped out-of-range
+    spans; fetch slices [:G]).
 
     Returns (cov', tal', stats_vec) with stats_vec int32[4] =
     [n_mapped, n_multi, n_valid_candidates, n_keep].
@@ -465,7 +467,7 @@ def device_accumulate(cfg: MapperConfig, B: int, pwm2, rows: dict,
     H = rows["valid_h"].shape[0]
     L = cfg.max_read_len
     span = acc_span(cfg)
-    Gpad = cov.shape[1]
+    Gpad = cov.shape[0] * 128
     valid_h = rows["valid_h"]
     row_h, score_h, len_h = rows["row_h"], rows["score_h"], rows["len_h"]
     ops, jfin = rows["ops"], rows["jfin"]
@@ -523,7 +525,7 @@ def device_accumulate(cfg: MapperConfig, B: int, pwm2, rows: dict,
         kk = jnp.arange(span, dtype=jnp.int32)[None, :]
         cov_delta = jnp.where(
             (kk >= s[:, None]) & (kk < (s + ref_len)[:, None]),
-            w[:, None], 0.0)
+            w[:, None], 0.0).reshape(-1, span // 128, 128)
         cov = accum_pallas.apply_deltas(cov, base_units, cov_delta,
                                         n_real, interpret=interpret)
     if snp:
@@ -967,7 +969,7 @@ class TpuMapper:
         pad (sliced off at fetch) — the device analog of drop-mode."""
         G = len(self.genome.codes)
         Gpad = acc_padded_len(self.cfg, G)
-        self._cov_dev = jnp.zeros((1, Gpad), jnp.float32)
+        self._cov_dev = jnp.zeros((Gpad // 128, 128), jnp.float32)
         self._tal_dev = (jnp.zeros((Gpad, 4), jnp.float32)
                          if self.cfg.snp_mode
                          else jnp.zeros((acc_span(self.cfg), 4),
@@ -977,7 +979,7 @@ class TpuMapper:
         """Device f32 accumulators -> host float64 (the [FROZEN v5] fetch
         boundary).  Returns (coverage, tallies-or-None)."""
         G = len(self.genome.codes)
-        cov = np.asarray(self._cov_dev)[0, :G].astype(np.float64)
+        cov = np.asarray(self._cov_dev).reshape(-1)[:G].astype(np.float64)
         tal = (np.asarray(self._tal_dev)[:G].astype(np.float64)
                if self.cfg.snp_mode else None)
         return cov, tal
@@ -986,9 +988,9 @@ class TpuMapper:
         """Resume from checkpointed host arrays (f64 -> f32)."""
         G = len(self.genome.codes)
         Gpad = acc_padded_len(self.cfg, G)
-        c = np.zeros((1, Gpad), np.float32)
-        c[0, :G] = np.asarray(cov)[:G]
-        self._cov_dev = jnp.asarray(c)
+        c = np.zeros((Gpad,), np.float32)
+        c[:G] = np.asarray(cov)[:G]
+        self._cov_dev = jnp.asarray(c.reshape(-1, 128))
         if tal is not None and self.cfg.snp_mode:
             t = np.zeros((Gpad, 4), np.float32)
             t[:G] = np.asarray(tal)[:G]

@@ -1,18 +1,25 @@
 """Pallas TPU kernel: serial span read-modify-write accumulation into a
-device-resident genome array (coverage ``(1, G)`` f32 or tallies
+device-resident genome array (coverage ``(G/128, 128)`` f32 or tallies
 ``(G, 4)`` f32).
 
 Why it exists: XLA's scatter-add lowers to a serialized per-update-row
 loop on TPU (~18 us/row — measured ~30 s/batch for the SNP tally scatter
 at chr21 scale, first r4 attempt), so [FROZEN v5] device accumulation
-instead precomputes DENSE 128-wide per-hit delta windows with pure
+instead precomputes DENSE span-wide per-hit delta windows with pure
 elementwise XLA (pipeline.mapper.device_accumulate) and this kernel
 applies them with explicit DMA round-trips:
 
     for each hit h (serial, deterministic order = hit-slot order):
-        buf  <- arr[base_h : base_h + 128]        (HBM -> VMEM DMA)
+        buf  <- arr[rows(h)]            (HBM -> VMEM DMA)
         buf  += delta[h]
-        arr[base_h : base_h + 128] <- buf         (VMEM -> HBM DMA)
+        arr[rows(h)] <- buf             (VMEM -> HBM DMA)
+
+Span starts are 128-position aligned (the pos%128 residue is folded into
+the delta layout by the caller) and the slice always addresses the
+LEADING dimension — coverage is laid out (G/128, 128) so a 128-aligned
+span of positions is a contiguous block of whole rows, and tallies
+(G, 4) slice whole 128-row groups; Mosaic can prove both against the
+memref tiling, and the DMA engine moves whole tiles.
 
 Overlapping spans (multi-map pileups on the same locus) stay exact
 because every RMW completes before the next begins; the TPU grid is
@@ -34,40 +41,33 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-SPAN = 128          # delta-window width (== mapper window width budget)
+SEG = 16384    # max hits per pallas_call (bounds the SMEM base table)
 
 
 def _rmw_kernel(base_ref, nreal_ref, delta_ref, arr_ref, out_ref,
-                buf, sem_in, sem_out, *, ch: int, width: int, span: int):
+                buf, sem_in, sem_out, *, ch: int, nrows: int, rowmul: int):
     """Grid step g applies hits [g*ch, (g+1)*ch) serially.
 
-    base_ref:  SMEM (ch,)   span starts in 128-POSITION UNITS (Mosaic
-                            must prove the HBM slice offset divisible by
-                            the (.,128) tiling, so the kernel multiplies
-                            an integer unit count by 128)
-    nreal_ref: SMEM (1,)    number of real hits (tail chunks partially run)
-    delta_ref: VMEM (ch, span) or (ch, span, width) delta windows
-    out_ref:   ANY  (1, G) or (G, width) — aliased accumulator, RMW'd
-    buf:       VMEM (1, span) or (span, width) scratch
+    base_ref:  SMEM (nchunks, ch) span starts in 128-POSITION UNITS
+    nreal_ref: SMEM (1, 1) number of real hits
+    delta_ref: VMEM (ch, nrows, W) delta windows
+    out_ref:   ANY (R, W) aliased accumulator — rows
+               [rowmul*units, rowmul*units + nrows) are RMW'd
+    buf:       VMEM (nrows, W) scratch
     """
     g = pl.program_id(0)
 
     def body(i, carry):
         h = g * ch + i
 
-        @pl.when(h < nreal_ref[0])
+        @pl.when(h < nreal_ref[0, 0])
         def _():
-            b = base_ref[i] * 128
-            if width == 1:
-                dst = out_ref.at[:, pl.ds(b, span)]
-                add = delta_ref[i][None, :]
-            else:
-                dst = out_ref.at[pl.ds(b, span), :]
-                add = delta_ref[i]
+            b = base_ref[g, i] * rowmul
+            dst = out_ref.at[pl.ds(b, nrows), :]
             cp = pltpu.make_async_copy(dst, buf, sem_in)
             cp.start()
             cp.wait()
-            buf[...] = buf[...] + add
+            buf[...] = buf[...] + delta_ref[i]
             cp2 = pltpu.make_async_copy(buf, dst, sem_out)
             cp2.start()
             cp2.wait()
@@ -76,57 +76,65 @@ def _rmw_kernel(base_ref, nreal_ref, delta_ref, arr_ref, out_ref,
     jax.lax.fori_loop(0, ch, body, 0)
 
 
+def apply_deltas(arr, base_units, deltas, n_real, *, ch: int = 256,
+                 interpret: bool = False):
+    """arr rows [u(h), u(h)+nrows) += deltas[h] for h in [0, n_real),
+    where u(h) = base_units[h] * rowmul and rowmul is inferred from the
+    layouts:
+
+      coverage: arr (R, 128) — position p lives at [p//128, p%128];
+                deltas (H, span//128, 128); rowmul = 1 (one 128-wide row
+                per 128 positions).
+      tallies:  arr (G, width<128) — deltas (H, span, width);
+                rowmul = 128 (128 rows per position unit).
+
+    base_units are 128-position span starts (callers fold the pos%128
+    residue into the delta layout), any order (serial, exact).  Hits
+    beyond n_real are skipped; lists larger than SEG chain through
+    multiple sequential kernel calls (the base table lives in SMEM)."""
+    H = base_units.shape[0]
+    for lo in range(0, H, SEG):
+        arr = _apply_deltas_seg(
+            arr, base_units[lo:lo + SEG], deltas[lo:lo + SEG],
+            jnp.maximum(jnp.asarray(n_real, jnp.int32) - lo, 0),
+            ch=ch, interpret=interpret)
+    return arr
+
+
 @functools.partial(jax.jit,
                    static_argnames=("ch", "interpret"))
-def apply_deltas(arr: jax.Array, base_units: jax.Array, deltas: jax.Array,
-                 n_real: jax.Array, *, ch: int = 256,
-                 interpret: bool = False) -> jax.Array:
-    """arr[128*base_units[h] : ... + span] += deltas[h], h in [0, n_real).
-
-    arr:        (1, G) f32 (coverage) or (G, width) f32 (tallies);
-                donated / aliased in place.  G must be a multiple of 128
-                and every span must fit: 128*base_units + span <= G.
-    base_units: int32[H] span starts in 128-position units (callers fold
-                the pos%128 residue into the delta layout), any order
-                (serial, exact).
-    deltas:     f32[H, span] or f32[H, span, width]; span % 128 == 0.
-    n_real:     int32[] — hits beyond it are skipped (padding).
-    """
+def _apply_deltas_seg(arr: jax.Array, base_units: jax.Array,
+                      deltas: jax.Array, n_real: jax.Array, *,
+                      ch: int = 256, interpret: bool = False) -> jax.Array:
     H = base_units.shape[0]
     base = base_units
-    width = 1 if deltas.ndim == 2 else deltas.shape[2]
-    span = deltas.shape[1]
+    assert deltas.ndim == 3 and arr.ndim == 2
+    nrows, W = deltas.shape[1], deltas.shape[2]
+    assert arr.shape[1] == W
+    rowmul = 1 if W == 128 else 128
     Hp = ((H + ch - 1) // ch) * ch
     if Hp != H:
         base = jnp.pad(base, (0, Hp - H))
-        pad = ((0, Hp - H), (0, 0)) if width == 1 else \
-            ((0, Hp - H), (0, 0), (0, 0))
-        deltas = jnp.pad(deltas, pad)
+        deltas = jnp.pad(deltas, ((0, Hp - H), (0, 0), (0, 0)))
     grid = (Hp // ch,)
-    if width == 1:
-        delta_spec = pl.BlockSpec((ch, span), lambda g: (g, 0),
-                                  memory_space=pltpu.VMEM)
-        buf = pltpu.VMEM((1, span), jnp.float32)
-    else:
-        delta_spec = pl.BlockSpec((ch, span, width), lambda g: (g, 0, 0),
-                                  memory_space=pltpu.VMEM)
-        buf = pltpu.VMEM((span, width), jnp.float32)
-    kernel = functools.partial(_rmw_kernel, ch=ch, width=width, span=span)
+    base2d = base.reshape(Hp // ch, ch)
+    kernel = functools.partial(_rmw_kernel, ch=ch, nrows=nrows,
+                               rowmul=rowmul)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((ch,), lambda g: (g,),
-                         memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            delta_spec,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((ch, nrows, W), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct(arr.shape, arr.dtype),
-        scratch_shapes=[buf,
+        scratch_shapes=[pltpu.VMEM((nrows, W), jnp.float32),
                         pltpu.SemaphoreType.DMA,
                         pltpu.SemaphoreType.DMA],
         input_output_aliases={3: 0},
         interpret=interpret,
-    )(base, jnp.reshape(n_real, (1,)).astype(jnp.int32), deltas, arr)
+    )(base2d, jnp.reshape(n_real, (1, 1)).astype(jnp.int32), deltas, arr)
