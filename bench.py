@@ -36,9 +36,13 @@ CONFIGS = {
     1: dict(name="phiX 10k x 36bp exact-seed",
             genome_len=5_386, n_reads=10_000, read_len=36, mer=8, jump=4,
             max_read_len=40, repeat_frac=0.0, bisulfite=False),
+    # batch 16384 = the whole headline workload in ONE device batch:
+    # measured 49.7k reads/s vs 38-40k at 8192 (the second batch's
+    # serialized fixed costs — dispatch, tunnel RTT, fetch — go away)
     2: dict(name="E.coli-scale 100bp probabilistic NW",
             genome_len=4_641_652, n_reads=16_384, read_len=100, mer=12,
-            jump=5, max_read_len=104, repeat_frac=0.0, bisulfite=False),
+            jump=5, max_read_len=104, repeat_frac=0.0, bisulfite=False,
+            batch=16_384),
     3: dict(name="chr21-scale multi-map posterior",
             genome_len=46_709_983, n_reads=16_384, read_len=100, mer=13,
             jump=5, max_read_len=104, repeat_frac=0.02, bisulfite=False),
@@ -97,6 +101,7 @@ def build_workload(n_reads, genome_len, batch_size, config=2):
     c = CONFIGS[config]
     genome_len = genome_len or c["genome_len"]
     n_reads = n_reads or c["n_reads"]
+    batch_size = batch_size or c.get("batch", 8192)
     cfg = MapperConfig(mer_size=c["mer"], seed_jump=c["jump"],
                        batch_size=batch_size,
                        max_read_len=c["max_read_len"], max_candidates=32,
@@ -623,7 +628,9 @@ def main():
                     help="override the config's read count")
     ap.add_argument("--genome-len", type=int, default=0,
                     help="override the config's genome length")
-    ap.add_argument("--batch-size", type=int, default=8192)
+    ap.add_argument("--batch-size", type=int, default=0,
+                    help="0 = per-config default (16384 for the headline "
+                         "config, 8192 otherwise)")
     ap.add_argument("--depth", type=int, default=3,
                     help="batches kept in flight (pipeline depth)")
     ap.add_argument("--no-baseline", action="store_true")
@@ -635,7 +642,8 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         n = min(args.reads or BENCH_READS_CPU, BENCH_READS_CPU)
         cfg, gen, idx, recs = build_workload(n, args.genome_len,
-                                             min(args.batch_size, 256),
+                                             min(args.batch_size or 256,
+                                                 256),
                                              config=args.config)
         dt, stats, _, _ = run_pipeline(cfg, gen, idx, recs, "jnp")
         out = {"cpu_reads_per_s": stats.n_reads / dt,
