@@ -75,6 +75,35 @@ def test_device_accum_deterministic():
     assert np.array_equal(r1.tallies, r2.tallies)
 
 
+def test_device_accum_checkpoint_resume(tmp_path):
+    """Interrupt a device-accumulation stream mid-way, resume from the
+    checkpoint (accumulators fetch f32->f64 at save, reload f64->f32):
+    final coverage/tallies must equal the uninterrupted run exactly
+    (resumed batches replay the identical kernel adds on the reloaded
+    state)."""
+    import itertools
+    cfg, gen, idx, recs = _workload(snp=True)
+    ck = str(tmp_path / "acc.ck.npz")
+
+    # uninterrupted reference
+    r_ref = _run(cfg, gen, idx, recs, "device")
+
+    # interrupted: checkpoint every batch, stop after 1 of 2 batches
+    m = pl.TpuMapper(gen, idx, cfg, align_impl="pallas",
+                     finish_impl="device", accumulate="device")
+    batches = list(io_fastq.batch_reads(iter(recs), cfg))
+    assert len(batches) >= 2
+    pl.map_stream(m, iter(batches[:1]), collect_sam=False,
+                  checkpoint_path=ck, checkpoint_every=1)
+    # fresh mapper resumes from the checkpoint and finishes the stream
+    m2 = pl.TpuMapper(gen, idx, cfg, align_impl="pallas",
+                      finish_impl="device", accumulate="device")
+    r2 = pl.map_stream(m2, iter(batches), collect_sam=False,
+                       checkpoint_path=ck, checkpoint_every=1)
+    assert np.array_equal(r2.coverage, r_ref.coverage)
+    assert np.array_equal(r2.tallies, r_ref.tallies)
+
+
 def test_device_accum_sam_records_identical():
     cfg, gen, idx, recs = _workload(snp=False, sam=True)
     rh = _run(cfg, gen, idx, recs, "host")
