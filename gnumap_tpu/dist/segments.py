@@ -236,21 +236,34 @@ class GlobalSegmentedMapper:
             per = [m.finish(batch, f, seg_stats)
                    for m, f in zip(self.mappers, futs)]
         totals = None
+        g_mapped = g_multi = None
         if self.num_hosts > 1:
             # global per-read posterior denominators: exact f64 sums of
-            # integer scores, reduced across hosts (see class docstring)
+            # integer scores, reduced across hosts (see class docstring).
+            # Per-read hit counts ride in the same allreduce so each
+            # host's n_mapped/n_multi report GLOBAL reality, not just its
+            # own segments' hits (r4 advisor: local-only counts understate
+            # the mapped rate in genome-partitioned mode).  Counts need no
+            # cross-host dedupe: segments partition the coordinate space,
+            # so no two hosts can hold the same (pos, strand) hit.
             from gnumap_tpu.dist import multihost
-            loc = np.zeros(batch.n, np.float64)
+            loc = np.zeros((2, batch.n), np.float64)
             for seg_hits in per:
                 for b, hits in enumerate(seg_hits):
                     for h in hits:
-                        loc[b] += h.score
-            totals = multihost.allreduce_f64(loc)
+                        loc[0, b] += h.score
+                        loc[1, b] += 1.0
+            red = multihost.allreduce_f64(loc)
+            totals = red[0]
+            g_mapped = int((red[1] >= 1.0).sum())
+            g_multi = int((red[1] >= 2.0).sum())
         out = self._merge_global(per, totals=totals, n=batch.n)
         if stats is not None:
             stats.n_reads += batch.n
-            stats.n_mapped += sum(1 for hh in out if hh)
-            stats.n_multi += sum(1 for hh in out if len(hh) > 1)
+            stats.n_mapped += (g_mapped if g_mapped is not None
+                               else sum(1 for hh in out if hh))
+            stats.n_multi += (g_multi if g_multi is not None
+                              else sum(1 for hh in out if len(hh) > 1))
             stats.n_candidates += seg_stats.n_candidates
             stats.dp_cells += seg_stats.dp_cells
             stats.device_s += seg_stats.device_s

@@ -1016,9 +1016,16 @@ class TpuMapper:
                                lens2, g_words, self._interpret)
         blob = device_tb_tail(cfg, cands, valid, scores, max_sc, emis2,
                               lens2, g_words, self._interpret, rows=rows)
+        # nvk = [n_valid, n_keep, n_indel]: n_indel (= the gapped-hit count
+        # device_accumulate's K-capacity replacement also sees) rides along
+        # so finish_acc can detect BOTH capacity overflows BEFORE any delta
+        # is applied (r4 advisor: the K overflow was silent tally
+        # corruption; the H overflow raised only after the accumulators had
+        # absorbed a truncated batch)
         return (blob, rows["row_h"], rows["cand_h"], rows["score_h"],
                 rows["len_h"], rows["ops"], rows["jfin"],
-                jnp.stack([rows["n_valid"], rows["n_keep"]]), pwm2)
+                jnp.stack([rows["n_valid"], rows["n_keep"], blob[-1]]),
+                pwm2)
 
     def _device_map_acc_q(self, packed, lens, *big):
         codes, quals = device_unpack(packed, self.cfg.max_read_len)
@@ -1040,6 +1047,17 @@ class TpuMapper:
                                  interpret=self._interpret)
 
     def _submit_acc(self, batch: ReadBatch):
+        """[FROZEN v5.1] submit runs ONLY the map program; the accumulate
+        program (_apply_acc) is deferred to finish_acc so that
+          (1) capacity overflow is detected BEFORE any delta reaches the
+              device accumulators (host fallback instead of a mid-stream
+              RuntimeError), and
+          (2) a mid-stream checkpoint sees exactly ``batches_done``
+              batches — an in-flight submitted batch has not touched
+              device state, so resuming replays it without double
+              counting (r4 advisor high-severity finding).
+        The heavy map program still pipelines across batches; only the
+        cheap accumulate program serializes at finish."""
         if batch.pwm_arr is None:
             out1 = self._map_acc_q_inner(
                 jnp.asarray(pack_reads(batch.codes, batch.quals)),
@@ -1049,53 +1067,107 @@ class TpuMapper:
                 jnp.asarray(batch.codes), jnp.asarray(batch.pwm_arr),
                 jnp.asarray(batch.lens), *self._big_args)
         blob, hit_args = out1[0], out1[1:]
-        cov, tal, stvec = self._apply_acc_inner(
-            self._cov_dev, self._tal_dev, *hit_args)
-        self._cov_dev, self._tal_dev = cov, tal
-        fetch = blob if self.cfg.sam_out else stvec
-        return self._fetch_pool.submit(np.asarray, fetch)
+        # background fetches force + overlap the map program's execution
+        nvk_fut = self._fetch_pool.submit(np.asarray, hit_args[-2])
+        blob_fut = (self._fetch_pool.submit(np.asarray, blob)
+                    if self.cfg.sam_out else None)
+        return (hit_args, nvk_fut, blob_fut)
 
     def finish_acc(self, batch: ReadBatch, dev_out,
                    stats: Optional[BatchStats] = None
                    ) -> List[List[ReadHit]]:
-        """Decode the per-batch fetch of the accumulate path: either the
-        4-int stats vector (no SAM — the host does nothing per batch) or
-        the tb blob (SAM on — decoded for records only; coverage/tallies
-        already accumulated on device).
+        """[FROZEN v5.1] Apply this batch's accumulation (deferred from
+        submit — see _submit_acc), then decode the per-batch fetch:
+        either the stats vector (no SAM — the host does nothing per
+        batch) or the tb blob (SAM on — decoded for records only).
 
-        Capacity overflow (n_keep > H, pathological loads) RAISES here
-        instead of falling back: the device accumulators already absorbed
-        the truncated hit set and a host re-map would double-count.  Use
-        accumulate='host' for workloads that overflow."""
+        Capacity overflow (n_keep > H or n_indel > K — pathological
+        multi-map / indel loads) is detected BEFORE any delta is applied:
+        the batch falls back to the exact host path and its float64
+        contributions fold into the device accumulators
+        (_finish_acc_overflow)."""
         cfg = self.cfg
         B = batch.codes.shape[0]
         H = cfg.hit_capacity * 2 * B
+        K = max(64, H // 32)
+        hit_args, nvk_fut, blob_fut = dev_out
         t0 = time.perf_counter()
-        arr = _materialize(dev_out)
-        t1 = time.perf_counter()
+        nvk = nvk_fut.result()
+        n_valid, n_keep, n_indel = (int(x) for x in nvk)
+        if n_keep > H or n_indel > K:
+            return self._finish_acc_overflow(batch, n_keep, n_indel,
+                                             n_valid, stats, t0)
+        cov, tal, stvec = self._apply_acc_inner(
+            self._cov_dev, self._tal_dev, *hit_args)
+        self._cov_dev, self._tal_dev = cov, tal
         if cfg.sam_out:
-            decoded = decode_tb_blob(cfg, B, batch.n, batch.lens, arr)
-            if decoded is None:
-                raise RuntimeError(
-                    "device-accumulation hit-capacity overflow "
-                    f"(> {H} retained hits in one batch); rerun with "
-                    "accumulate='host'")
-            out, n_keep, n_valid = decoded
+            arr = blob_fut.result()
+            t1 = time.perf_counter()
+            out, n_keep, n_valid = decode_tb_blob(
+                cfg, B, batch.n, batch.lens, arr)   # caps checked above
             n_mapped = sum(1 for hh in out if hh)
             n_multi = sum(1 for hh in out if len(hh) > 1)
         else:
+            arr = np.asarray(stvec)      # forces the accumulate program
+            t1 = time.perf_counter()
             n_mapped, n_multi, n_valid, n_keep = (int(x) for x in arr)
-            if n_keep > H:
-                raise RuntimeError(
-                    "device-accumulation hit-capacity overflow "
-                    f"({n_keep} > {H} retained hits); rerun with "
-                    "accumulate='host'")
             out = [[] for _ in range(batch.n)]
         t2 = time.perf_counter()
         if stats is not None:
             stats.n_reads += batch.n
             stats.n_mapped += n_mapped
             stats.n_multi += n_multi
+            stats.n_candidates += n_valid
+            stats.dp_cells += (n_valid * cfg.max_read_len
+                               * cfg.window_width())
+            stats.device_s += t1 - t0
+            stats.host_s += t2 - t1
+        return out
+
+    def _finish_acc_overflow(self, batch: ReadBatch, n_keep: int,
+                             n_indel: int, n_valid: int,
+                             stats: Optional[BatchStats], t0: float
+                             ) -> List[List[ReadHit]]:
+        """Capacity-overflow fallback: the batch's deltas were NOT applied
+        (detection precedes application), so re-map it on the exact
+        full-fetch host path and fold the float64 contributions into the
+        device accumulators (fetch -> ordered host scatter -> re-quantize
+        f32).  Values can differ from a hypothetical infinite-capacity
+        device batch only at f32 rounding; determinism for a fixed stream
+        is preserved.  Raise cfg.hit_capacity if this fires on every
+        batch."""
+        import logging
+        cfg = self.cfg
+        B = batch.codes.shape[0]
+        logging.getLogger(__name__).warning(
+            "device-accumulation capacity overflow (n_keep=%d > H=%d or "
+            "n_indel=%d > K=%d): exact host-path fallback for this batch",
+            n_keep, cfg.hit_capacity * 2 * B, n_indel,
+            max(64, cfg.hit_capacity * 2 * B // 32))
+        out = self.finish_host(
+            batch, self._map_packed(jnp.asarray(batch.codes),
+                                    jnp.asarray(batch.pwm_q),
+                                    jnp.asarray(batch.lens)), None)
+        t1 = time.perf_counter()
+        cov, tal = self.fetch_accumulators()
+        cov_rows = [(h.pos, h.ref_len, h.weight)
+                    for hits in out for h in hits]
+        _scatter_coverage(cov, cov_rows)
+        if cfg.snp_mode:
+            tal_rows = []
+            for b, hits in enumerate(out):
+                L = int(batch.lens[b])
+                for h in hits:
+                    tal_rows.append((b, h.strand == "-", h.pos, h.weight,
+                                     None if h.cigar == f"{L}M"
+                                     else h.cigar))
+            _scatter_tallies(tal, batch, tal_rows)
+        self.load_accumulators(cov, tal)
+        t2 = time.perf_counter()
+        if stats is not None:
+            stats.n_reads += batch.n
+            stats.n_mapped += sum(1 for hh in out if hh)
+            stats.n_multi += sum(1 for hh in out if len(hh) > 1)
             stats.n_candidates += n_valid
             stats.dp_cells += (n_valid * cfg.max_read_len
                                * cfg.window_width())
