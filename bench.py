@@ -413,6 +413,34 @@ def kernel_bitcheck():
                 f"traceback mismatch hit {h}: "
                 f"({int(jfin[h])},{got_cigar},{got_rl}) != "
                 f"({pos_w},{cigar},{ref_len})")
+    # [FROZEN v6] pure-diagonal detection on the same retained hits: every
+    # hit it declares pure must be an oracle all-M with the exact smallest-
+    # column jfin, and the clean (even-b) hits must actually be skipped
+    if cfg.band() is not None:
+        tb_scores = np.array([got[b, c] for b, c in keep], np.int32)
+        pure, pjf = nw_pallas.nw_pure_banded(
+            jnp_arr(tb_emis), jnp_arr(tb_cands), jnp_arr(tb_lens),
+            jnp_arr(tb_scores), jnp_arr(gwords), L=L, W=W,
+            slack=cfg.gap_slack, boff=cfg.band()[0], bw=cfg.band()[1],
+            open_q=cfg.gap_open_q(), ext_q=cfg.gap_extend_q(),
+            interpret=interpret)
+        pure, pjf = np.asarray(pure), np.asarray(pjf)
+        n_pure = 0
+        for h, (b, c) in enumerate(keep):
+            if not pure[h]:
+                continue
+            n_pure += 1
+            _, window = window_of(cands[b, c])
+            _, pos_w, cigar, _ = oracle.nw_align(
+                emis[b], window, cfg, traceback=True)
+            n_checked += 1
+            if cigar != f"{L}M" or int(pjf[h]) != pos_w:
+                return False, n_checked, (
+                    f"pure-detect mismatch hit {h}: jfin {int(pjf[h])} "
+                    f"vs oracle ({pos_w}, {cigar})")
+        if n_pure < len(keep) // 4:
+            return False, n_checked, (
+                f"pure-detect skipped too little: {n_pure}/{len(keep)}")
     return True, n_checked, "ok"
 
 

@@ -473,6 +473,238 @@ def nw_scores_banded(emis_t: jax.Array, cands: jax.Array, lens: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# [FROZEN v6] Pure-diagonal detection — the traceback split.
+#
+# The overwhelming majority of retained hits align gap-free (CIGAR <len>M);
+# re-running the full direction-bit DP + backwalk for them was ~75% of the
+# r4 judge's measured kernel time together with seeding.  This kernel is a
+# trimmed banded FORWARD pass (no direction bits, no backwalk, ~1/11 of the
+# scoring kernel's tile count at headline shapes: one hit per sublane
+# instead of reads x candidates) that PROVES a hit pure so the expensive
+# traceback kernel only runs on the compacted gap-bearing remainder.
+#
+# Exactness argument (the skip must be bit-identical to oracle.nw_align's
+# frozen tie-breaking, tests/test_devtb.py):
+#   * In diagonal-band coordinates a LANE is a DIAGONAL, so the gapless
+#     diagonal prefix sum gl costs one add per row:
+#     gl_r[ll] = sum_{r'<=r} e[r', col_base(ll) + r'].
+#   * At the end row, fin cells equal to the score are all M cells when
+#     open_q > 0 and ext_q > 0 (Ix trails by >= min(open, ext); the
+#     column-0 ramp ix0 = -(open + (len-1) ext) < 0 < score).  The
+#     oracle's end choice (smallest column, M preferred over Ix) is
+#     therefore the smallest lane ll with capM[ll] == score.
+#   * If gl[end_ll] == score, then M[r] along that lane equals the
+#     diagonal prefix at EVERY row (M[r] >= D_r always; at the end they
+#     are equal, and M[r-1] >= D_{r-1} = M[r] - e_r = diag-chain value
+#     forces equality down the chain), so the backwalk's M-preferred tie
+#     rule (m_dir == 0 whenever the diagonal M ties the running max)
+#     follows the diagonal exactly: CIGAR <len>M, jfin = end_ll - boff.
+#   * Otherwise the hit is NOT skipped — no claim is made, the traceback
+#     kernel computes it as before.
+# ---------------------------------------------------------------------------
+
+
+def _nw_band_pure_kernel(meta_ref, rows_ref, win_ref,
+                         capm_o, capix_o, capgl_o,
+                         m_ref, ix_ref, iy_ref, gl_ref, *,
+                         L: int, W: int, Wroll: int, boff: int, bw: int,
+                         open_q: int, ext_q: int, S: int):
+    """One tile: S retained hits, one per sublane, bw-lane band each
+    (lanes >= bw are ghost segments whose values never reach lanes < bw —
+    the same % bw masks as the scoring kernel isolate them).
+
+    meta_ref: SMEM (1, 1, 1, 2) int32   [skip, max_len_of_hit_group]
+    rows_ref: VMEM (1, Lp, S, 8) int32  lanes 0..4 emission, 5 open_i,
+                                        6 ext_i, 7 end-row flag
+    win_ref:  VMEM (1, 1, S, Wroll) int8 window codes (5 = poison)
+    cap*_o:   VMEM (1, 1, S, 128) int32 end-row captures of M / Ix / gl
+    """
+    skip = meta_ref[0, 0, 0, 0]
+
+    @pl.when(skip == 1)
+    def _():
+        capm_o[0, 0] = jnp.full((S, 128), NEG_INF, jnp.int32)
+        capix_o[0, 0] = jnp.full((S, 128), NEG_INF, jnp.int32)
+        capgl_o[0, 0] = jnp.full((S, 128), NEG_INF, jnp.int32)
+
+    @pl.when(skip == 0)
+    def _():
+        lane = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)
+        lane_local = lane % bw
+        col_base = lane_local - boff
+        ramp1 = lane_local * ext_q
+        ramp2 = open_q + (lane_local - 1) * ext_q
+        shifts = []
+        sh = 1
+        while sh < bw:
+            shifts.append(sh)
+            sh *= 2
+        cum_masks = [(lane_local >= s_, s_) for s_ in shifts]
+        ge1 = lane_local >= 1
+        le_bm2 = lane_local <= bw - 2
+        maxlen = meta_ref[0, 0, 0, 1]
+
+        m_ref[:, :] = jnp.where((col_base >= 0) & (col_base <= W),
+                                jnp.int32(0), jnp.int32(NEG_INF))
+        ix_ref[:, :] = jnp.full((S, 128), NEG_INF, jnp.int32)
+        iy_ref[:, :] = jnp.full((S, 128), NEG_INF, jnp.int32)
+        gl_ref[:, :] = jnp.zeros((S, 128), jnp.int32)
+        capm_o[0, 0] = jnp.full((S, 128), NEG_INF, jnp.int32)
+        capix_o[0, 0] = jnp.full((S, 128), NEG_INF, jnp.int32)
+        capgl_o[0, 0] = jnp.full((S, 128), NEG_INF, jnp.int32)
+        wr0 = pltpu.roll(win_ref[0, 0].astype(jnp.int32), boff % Wroll, 1)
+
+        def row(k, carry):
+            wr, m0, ix0 = carry
+            i = k + 1
+            slab = rows_ref[0, k]
+            opn = slab[:, 5:6]
+            ext = slab[:, 6:7]
+            endf = slab[:, 7:8] > 0
+            col = col_base + i
+            win = jnp.where((col < 1) | (col > W), 5, wr[:, :128])
+            e = jnp.full((S, 128), DEEP, jnp.int32)
+            for v in range(5):
+                e = jnp.where(win == v, slab[:, v:v + 1], e)
+            M, Ix, Iy = m_ref[:, :], ix_ref[:, :], iy_ref[:, :]
+            diag = jnp.maximum(jnp.maximum(M, Ix), Iy)
+            diag = jnp.where(col == 1, jnp.maximum(m0, ix0), diag)
+            M_new = jnp.maximum(e + diag, NEG_INF)
+            gl_new = jnp.maximum(gl_ref[:, :] + e, NEG_INF)
+            t = jnp.maximum(M - opn, Ix - ext)
+            Ix_new = jnp.maximum(
+                jnp.where(le_bm2, pltpu.roll(t, 127, 1), NEG_INF), NEG_INF)
+            pm = M_new + ramp1
+            for mask, s_ in cum_masks:
+                pm = jnp.maximum(pm, jnp.where(mask, pltpu.roll(pm, s_, 1),
+                                               NEG_INF))
+            Iy_new = jnp.maximum(
+                jnp.where(ge1, pltpu.roll(pm, 1, 1), NEG_INF) - ramp2,
+                NEG_INF)
+            m_ref[:, :] = M_new
+            ix_ref[:, :] = Ix_new
+            iy_ref[:, :] = Iy_new
+            gl_ref[:, :] = gl_new
+            ix0_new = jnp.maximum(
+                jnp.maximum(m0 - opn, ix0 - ext), NEG_INF)
+            capm_o[0, 0] = jnp.where(endf, M_new, capm_o[0, 0])
+            capix_o[0, 0] = jnp.where(endf, Ix_new, capix_o[0, 0])
+            capgl_o[0, 0] = jnp.where(endf, gl_new, capgl_o[0, 0])
+            return (pltpu.roll(wr, Wroll - 1, 1),
+                    jnp.full((S, 1), NEG_INF, jnp.int32), ix0_new)
+
+        jax.lax.fori_loop(0, maxlen, row,
+                          (wr0, jnp.zeros((S, 1), jnp.int32),
+                           jnp.full((S, 1), NEG_INF, jnp.int32)))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("L", "W", "slack", "boff", "bw",
+                                    "open_q", "ext_q", "interpret",
+                                    "sublanes"))
+def nw_pure_banded(emis_t: jax.Array, cands: jax.Array, lens: jax.Array,
+                   scores: jax.Array, genome_words: jax.Array, *, L: int,
+                   W: int, slack: int, boff: int, bw: int, open_q: int,
+                   ext_q: int, interpret: bool = False,
+                   sublanes: int = 128):
+    """[FROZEN v6] (pure bool[H], jfin int32[H]) for H retained hits:
+    pure[h] proves the frozen backwalk emits all-M with first aligned
+    window column jfin[h] (see the section comment for the exactness
+    argument).  Callers MUST gate on open_q > 0 and ext_q > 0 and on the
+    banded config (cfg.band() is not None).
+
+    emis_t: int32[H, 5, L]; cands: int32[H] (SENTINEL = empty);
+    lens: int32[H]; scores: int32[H] (the scoring kernel's results).
+    """
+    H = cands.shape[0]
+    assert W % BASES_PER_WORD == 0
+    Wroll = _round_up(W, 128)
+    Lp = _round_up(L, 8)
+    S = sublanes
+    Hp = _round_up(H, S)
+    if Hp != H:
+        emis_t = jnp.pad(emis_t, ((0, Hp - H), (0, 0), (0, 0)))
+        cands = jnp.pad(cands, (0, Hp - H), constant_values=SENTINEL)
+        lens = jnp.pad(lens, (0, Hp - H))
+    nt = Hp // S
+    lens_k = jnp.where(cands == SENTINEL, 0, lens)
+
+    rows = jnp.zeros((Hp, Lp, 8), dtype=jnp.int32)
+    rows = rows.at[:, :L, :5].set(jnp.transpose(emis_t, (0, 2, 1)))
+    ar = jnp.arange(Lp, dtype=jnp.int32)[None, :]
+    in_read = ar < lens_k[:, None]
+    rows = rows.at[:, :, 5].set(jnp.where(in_read, open_q, 0))
+    rows = rows.at[:, :, 6].set(jnp.where(in_read, ext_q, 0))
+    rows = rows.at[:, :, 7].set(
+        (ar == lens_k[:, None] - 1).astype(jnp.int32))
+    rows = rows.reshape(nt, S, Lp, 8).transpose(0, 2, 1, 3)
+
+    valid = cands != SENTINEL
+    win8 = _gather_windows(cands[:, None], valid[:, None], genome_words,
+                           W, Wroll, slack).reshape(Hp, Wroll)
+    win8 = win8.reshape(nt, 1, S, Wroll)
+
+    tile_valid = valid.reshape(nt, S)
+    skip = jnp.logical_not(tile_valid.any(axis=1)).astype(jnp.int32)
+    maxlen = jnp.max(lens_k.reshape(nt, S), axis=1).astype(jnp.int32)
+    meta = jnp.stack([skip, maxlen], axis=1).reshape(nt, 1, 1, 2)
+
+    kernel = functools.partial(
+        _nw_band_pure_kernel, L=L, W=W, Wroll=Wroll, boff=boff, bw=bw,
+        open_q=open_q, ext_q=ext_q, S=S)
+    capm, capix, capgl = pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, 2), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Lp, S, 8), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S, Wroll), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, S, 128), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S, 128), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S, 128), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nt, 1, S, 128), jnp.int32),
+            jax.ShapeDtypeStruct((nt, 1, S, 128), jnp.int32),
+            jax.ShapeDtypeStruct((nt, 1, S, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((S, 128), jnp.int32),
+            pltpu.VMEM((S, 128), jnp.int32),
+            pltpu.VMEM((S, 128), jnp.int32),
+            pltpu.VMEM((S, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(meta, rows, win8)
+    capm = capm.reshape(Hp, 128)[:H]
+    capix = capix.reshape(Hp, 128)[:H]
+    capgl = capgl.reshape(Hp, 128)[:H]
+
+    ll = jnp.arange(128, dtype=jnp.int32)[None, :]
+    fin = jnp.maximum(capm, capix)
+    eq = (fin == scores[:, None]) & (ll < bw)
+    BIG = jnp.int32(1 << 30)
+    end_ll = jnp.min(jnp.where(eq, ll, BIG), axis=1)
+    found = end_ll < BIG
+    safe_ll = jnp.where(found, end_ll, 0)[:, None]
+    cm_at = jnp.take_along_axis(capm, safe_ll, axis=1)[:, 0]
+    ci_at = jnp.take_along_axis(capix, safe_ll, axis=1)[:, 0]
+    cg_at = jnp.take_along_axis(capgl, safe_ll, axis=1)[:, 0]
+    pure = (found & (cm_at >= ci_at) & (cg_at == scores)
+            & (cands[:H] != SENTINEL) & (scores > 0))
+    jfin = jnp.where(pure, end_ll - boff, 0)
+    return pure, jfin
+
+
+# ---------------------------------------------------------------------------
 # Device-side traceback (SURVEY.md §7 "rescoring winners" — the second pass
 # over retained loci, now on-device instead of the native C++ host finisher)
 # ---------------------------------------------------------------------------

@@ -114,6 +114,96 @@ def test_devtb_matches_oracle_tpu():
            interpret=False)
 
 
+def _check_pure(cfg, genome, emis, cands, lens, interpret=True,
+                min_pure_frac=0.0):
+    """Drive nw_pure_banded against the oracle: every hit it declares pure
+    must traceback to an all-M CIGAR with the oracle's exact pos_in_window
+    (incl. the smallest-column tie-break)."""
+    L = cfg.max_read_len
+    W = cfg.window_width()
+    G = len(genome)
+    gwords = nw_pallas.pad_genome_words(genome, W)
+    emis_t = np.ascontiguousarray(emis.transpose(0, 2, 1))
+    boff, bw = cfg.band()
+    scores = np.asarray(nw_pallas.nw_scores_banded(
+        emis_t, cands[:, None], lens, gwords, L=L, W=W,
+        slack=cfg.gap_slack, boff=boff, bw=bw,
+        open_q=cfg.gap_open_q(), ext_q=cfg.gap_extend_q(),
+        interpret=interpret))[:, 0]
+    pure, jfin = nw_pallas.nw_pure_banded(
+        emis_t, cands, lens, scores, gwords, L=L, W=W,
+        slack=cfg.gap_slack, boff=boff, bw=bw,
+        open_q=cfg.gap_open_q(), ext_q=cfg.gap_extend_q(),
+        interpret=interpret)
+    pure, jfin = np.asarray(pure), np.asarray(jfin)
+    n_checked = n_pure = 0
+    for h in range(len(cands)):
+        if cands[h] == SENT:
+            assert not pure[h]
+            continue
+        if scores[h] <= 0:
+            continue
+        lb = int(lens[h])
+        ws = int(cfg.window_start(int(cands[h])))
+        window = np.full(W, 4, np.int8)
+        lo, hi = max(ws, 0), min(ws + W, G)
+        if hi > lo:
+            window[lo - ws:hi - ws] = genome[lo:hi]
+        sc, pos_w, cigar, ref_len = oracle.nw_align(
+            emis[h, :lb], window, cfg, traceback=True)
+        assert sc == scores[h]
+        n_checked += 1
+        if pure[h]:
+            n_pure += 1
+            assert cigar == f"{lb}M", (h, cigar)
+            assert int(jfin[h]) == pos_w, (h, int(jfin[h]), pos_w)
+    assert n_checked >= len(cands) // 3
+    assert n_pure >= min_pure_frac * n_checked
+    return n_checked, n_pure
+
+
+def test_pure_detection_matches_oracle_interpret():
+    cfg = MapperConfig(max_read_len=24)
+    rng = np.random.default_rng(31)
+    genome, emis, cands, lens = _mk_hits(rng, 96, 24, 900, cfg,
+                                         indel_rate=0.3)
+    # most clean copies must be provably pure (the skip must actually skip)
+    _check_pure(cfg, genome, emis, cands, lens, min_pure_frac=0.4)
+
+
+def test_pure_detection_tandem_tie():
+    """Period-4 tandem repeats: a window holds several perfect placements
+    of the same read, so the pure path's smallest-lane choice must
+    reproduce the oracle's smallest-column end-cell tie-break."""
+    from gnumap_tpu.align import scoring
+    from gnumap_tpu.core import pwm
+    cfg = MapperConfig(max_read_len=24)
+    rng = np.random.default_rng(7)
+    L = 24
+    unit = np.array([0, 1, 2, 3], np.int8)
+    genome = np.concatenate([rng.integers(0, 4, 300).astype(np.int8),
+                             np.tile(unit, 100),
+                             rng.integers(0, 4, 300).astype(np.int8)])
+    S = scoring.normal_matrix(cfg)
+    H = 32
+    emis = np.zeros((H, L, 5), np.int32)
+    cands = np.full(H, SENT, np.int32)
+    lens = np.full(H, L, np.int32)
+    for h in range(H):
+        pos = 300 + 4 * int(rng.integers(3, 90))
+        seq = genome[pos:pos + L].copy()
+        if h % 3 == 0:                      # a substitution now and then
+            seq[int(rng.integers(0, L))] = int(rng.integers(0, 4))
+        pq = pwm.pwm_from_calls(seq, rng.integers(20, 41, L))
+        emis[h] = scoring.emission_int(pq, S)
+        # anchor several periods into the repeat so earlier perfect
+        # placements exist inside the window
+        cands[h] = pos
+    n_checked, n_pure = _check_pure(cfg, genome, emis, cands, lens,
+                                    min_pure_frac=0.5)
+    assert n_pure >= 8        # ties must be exercised, not skipped
+
+
 def test_device_threshold_exact():
     from gnumap_tpu.pipeline.mapper import device_threshold
     rng = np.random.default_rng(2)
