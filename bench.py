@@ -624,6 +624,7 @@ def bench_config(cfgnum, args, impl, with_baseline, repeats=1):
             repeats=repeats)
     reads_per_s = stats.n_reads / dt
     cells_per_s = stats.dp_cells / max(stats.device_s, 1e-9)
+    bcells_per_s = stats.dp_cells_banded / max(stats.device_s, 1e-9)
     vs_baseline = None
     if with_baseline:
         base = cpu_baseline(args.reads or 512, config=cfgnum)
@@ -638,6 +639,7 @@ def bench_config(cfgnum, args, impl, with_baseline, repeats=1):
         "mapped_rate": round(stats.n_mapped / max(stats.n_reads, 1), 4),
         "multi_mapped": stats.n_multi,
         "dp_cells_per_s_device": round(cells_per_s / 1e9, 3),
+        "dp_cells_banded_per_s_device": round(bcells_per_s / 1e9, 3),
         "dp_unit": "Gcells/s",
         "device_s": round(stats.device_s, 3),
         "host_s": round(stats.host_s, 3),

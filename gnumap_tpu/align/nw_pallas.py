@@ -255,7 +255,7 @@ def _nw_band_kernel(meta_ref, rows_ref, win_ref, out_ref,
                     m_ref, ix_ref, iy_ref, cap_ref, *,
                     L: int, W: int, Wroll: int, boff: int, bw: int,
                     n_seg: int, open_q: int, ext_q: int, S: int,
-                    unroll: int = 1):
+                    unroll: int = 1, peel: bool = True):
     """One tile: S reads x n_seg candidate slots, bw-lane band per slot.
 
     meta_ref: SMEM (1, 1, 1, 2) int32    [skip, max_len_of_read_group]
@@ -307,25 +307,34 @@ def _nw_band_kernel(meta_ref, rows_ref, win_ref, out_ref,
                        (s * bw + boff) % Wroll, 1)
             for s in range(n_seg))
 
-        def one_row(k, m0, ix0, wrs):
+        def one_row(k, m0, ix0, wrs, edge=True):
             """DP row k+1; wrs views are pre-rolled for this row.
-            Returns (m0', ix0') — state refs updated in place."""
+            Returns (m0', ix0') — state refs updated in place.
+
+            ``edge=False`` (loop peel): rows boff+2 .. W+boff-bw+1 can
+            touch neither window boundary (col < 1 needs i <= boff at
+            some band lane; col > W needs i >= W+boff-bw+2) nor column 1
+            (col == 1 needs i <= boff+1), so the boundary poison and the
+            column-1 diag select drop from the body loop — bit-identical
+            by construction, A/B-checked in tests/test_band_unroll.py."""
             i = k + 1
             slab = rows_ref[0, k]                # (S, 8)
             opn = slab[:, 5:6]
             ext = slab[:, 6:7]
             endf = slab[:, 7:8] > 0
-            col = col_base + i
             win = wrs[n_seg - 1][:, :128]
             for s in range(n_seg - 2, -1, -1):
                 win = jnp.where(lane < (s + 1) * bw, wrs[s][:, :128], win)
-            win = jnp.where((col < 1) | (col > W), 5, win)
+            if edge:
+                col = col_base + i
+                win = jnp.where((col < 1) | (col > W), 5, win)
             e = jnp.full((S, 128), DEEP, jnp.int32)
             for v in range(5):
                 e = jnp.where(win == v, slab[:, v:v + 1], e)
             M, Ix, Iy = m_ref[:, :], ix_ref[:, :], iy_ref[:, :]
             diag = jnp.maximum(jnp.maximum(M, Ix), Iy)
-            diag = jnp.where(col == 1, jnp.maximum(m0, ix0), diag)
+            if edge:
+                diag = jnp.where(col == 1, jnp.maximum(m0, ix0), diag)
             M_new = jnp.maximum(e + diag, NEG_INF)
             t = jnp.maximum(M - opn, Ix - ext)
             Ix_new = jnp.maximum(
@@ -367,29 +376,43 @@ def _nw_band_kernel(meta_ref, rows_ref, win_ref, out_ref,
                 wrs + (jnp.zeros((S, 1), jnp.int32),
                        jnp.full((S, 1), NEG_INF, jnp.int32)))
         else:
-            def row(k, carry):
+            def row_edge(k, carry):
                 m0, ix0 = carry[-2:]
                 wrs = carry[:-2]
-                m0, ix0 = one_row(k, m0, ix0, wrs)
+                m0, ix0 = one_row(k, m0, ix0, wrs, edge=True)
                 return tuple(pltpu.roll(w, Wroll - 1, 1) for w in wrs) + (
                     m0, ix0)
 
-            jax.lax.fori_loop(
-                0, maxlen, row,
-                wrs + (jnp.zeros((S, 1), jnp.int32),
-                       jnp.full((S, 1), NEG_INF, jnp.int32)))
+            def row_body(k, carry):
+                m0, ix0 = carry[-2:]
+                wrs = carry[:-2]
+                m0, ix0 = one_row(k, m0, ix0, wrs, edge=False)
+                return tuple(pltpu.roll(w, Wroll - 1, 1) for w in wrs) + (
+                    m0, ix0)
+
+            carry = wrs + (jnp.zeros((S, 1), jnp.int32),
+                           jnp.full((S, 1), NEG_INF, jnp.int32))
+            if peel:
+                b1 = jnp.minimum(maxlen, boff + 1)
+                b2 = jnp.maximum(b1, jnp.minimum(maxlen,
+                                                 W + boff - bw + 1))
+                carry = jax.lax.fori_loop(0, b1, row_edge, carry)
+                carry = jax.lax.fori_loop(b1, b2, row_body, carry)
+                jax.lax.fori_loop(b2, maxlen, row_edge, carry)
+            else:
+                jax.lax.fori_loop(0, maxlen, row_edge, carry)
         out_ref[0, 0] = cap_ref[:, :]
 
 
 @functools.partial(jax.jit,
                    static_argnames=("L", "W", "slack", "boff", "bw",
                                     "open_q", "ext_q", "interpret", "rpt",
-                                    "unroll"))
+                                    "unroll", "peel"))
 def nw_scores_banded(emis_t: jax.Array, cands: jax.Array, lens: jax.Array,
                      genome_words: jax.Array, *, L: int, W: int, slack: int,
                      boff: int, open_q: int, ext_q: int, bw: int = 64,
                      interpret: bool = False, rpt: int = 128,
-                     unroll: int = 1) -> jax.Array:
+                     unroll: int = 1, peel: bool = True) -> jax.Array:
     """Banded scores for every (read-strand, candidate) pair ([FROZEN v4]).
 
     emis_t:       int32[B2, 5, L]  emission tables, code-major
@@ -440,7 +463,8 @@ def nw_scores_banded(emis_t: jax.Array, cands: jax.Array, lens: jax.Array,
 
     kernel = functools.partial(
         _nw_band_kernel, L=L, W=W, Wroll=Wroll, boff=boff, bw=bw,
-        n_seg=n_seg, open_q=open_q, ext_q=ext_q, S=S, unroll=unroll)
+        n_seg=n_seg, open_q=open_q, ext_q=ext_q, S=S, unroll=unroll,
+        peel=peel)
     out = pl.pallas_call(
         kernel,
         grid=(Gb, nt),

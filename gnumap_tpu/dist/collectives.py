@@ -298,8 +298,9 @@ class DistMapper:
             stats.n_mapped += sum(1 for hh in out if hh)
             stats.n_multi += sum(1 for hh in out if len(hh) > 1)
             stats.n_candidates += n_valid_tot
-            stats.dp_cells += (n_valid_tot * cfg.max_read_len
-                               * cfg.window_width())
+            rect, bandw = pipeline_mapper._cells_per_cand(cfg)
+            stats.dp_cells += n_valid_tot * cfg.max_read_len * rect
+            stats.dp_cells_banded += n_valid_tot * cfg.max_read_len * bandw
             stats.device_s += t1 - t0
             stats.host_s += t2 - t1
         return out

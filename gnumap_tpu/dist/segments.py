@@ -266,6 +266,7 @@ class GlobalSegmentedMapper:
                               else sum(1 for hh in out if len(hh) > 1))
             stats.n_candidates += seg_stats.n_candidates
             stats.dp_cells += seg_stats.dp_cells
+            stats.dp_cells_banded += seg_stats.dp_cells_banded
             stats.device_s += seg_stats.device_s
             stats.host_s += seg_stats.host_s
         return out

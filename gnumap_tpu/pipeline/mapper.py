@@ -62,9 +62,21 @@ class BatchStats:
     n_mapped: int = 0
     n_multi: int = 0
     n_candidates: int = 0
-    dp_cells: int = 0
+    dp_cells: int = 0          # rectangle-equivalent work: L x W per
+                               # candidate (the r1-r4 record's accounting)
+    dp_cells_banded: int = 0   # cells the banded kernel actually computes:
+                               # L x bw per candidate (VERDICT.md r4 weak
+                               # #2: the two accountings differ ~3x and the
+                               # roofline is stated in THIS one)
     device_s: float = 0.0
     host_s: float = 0.0
+
+
+def _cells_per_cand(cfg: "MapperConfig"):
+    """(rectangle, banded-computed) DP cells per (candidate, read-row)."""
+    W = cfg.window_width()
+    b = cfg.band()
+    return W, (b[1] if b is not None else W)
 
 
 
@@ -1163,8 +1175,9 @@ class TpuMapper:
             stats.n_mapped += n_mapped
             stats.n_multi += n_multi
             stats.n_candidates += n_valid
-            stats.dp_cells += (n_valid * cfg.max_read_len
-                               * cfg.window_width())
+            rect, band = _cells_per_cand(cfg)
+            stats.dp_cells += n_valid * cfg.max_read_len * rect
+            stats.dp_cells_banded += n_valid * cfg.max_read_len * band
             stats.device_s += t1 - t0
             stats.host_s += t2 - t1
         return out
@@ -1214,8 +1227,9 @@ class TpuMapper:
             stats.n_mapped += sum(1 for hh in out if hh)
             stats.n_multi += sum(1 for hh in out if len(hh) > 1)
             stats.n_candidates += n_valid
-            stats.dp_cells += (n_valid * cfg.max_read_len
-                               * cfg.window_width())
+            rect, band = _cells_per_cand(cfg)
+            stats.dp_cells += n_valid * cfg.max_read_len * rect
+            stats.dp_cells_banded += n_valid * cfg.max_read_len * band
             stats.device_s += t1 - t0
             stats.host_s += t2 - t1
         return out
@@ -1305,8 +1319,9 @@ class TpuMapper:
             stats.n_mapped += sum(1 for hh in out if hh)
             stats.n_multi += sum(1 for hh in out if len(hh) > 1)
             stats.n_candidates += n_valid
-            stats.dp_cells += (n_valid * cfg.max_read_len
-                               * cfg.window_width())
+            rect, band = _cells_per_cand(cfg)
+            stats.dp_cells += n_valid * cfg.max_read_len * rect
+            stats.dp_cells_banded += n_valid * cfg.max_read_len * band
             stats.device_s += t1 - t0
             stats.host_s += t2 - t1
         return out
@@ -1729,6 +1744,8 @@ def _update_stats(stats: BatchStats, cfg: MapperConfig, batch: ReadBatch,
     stats.n_mapped += sum(1 for h in out if h)
     stats.n_multi += sum(1 for h in out if len(h) > 1)
     stats.n_candidates += int(valid.sum())
-    stats.dp_cells += int(valid.sum()) * cfg.max_read_len * cfg.window_width()
+    rect, band = _cells_per_cand(cfg)
+    stats.dp_cells += int(valid.sum()) * cfg.max_read_len * rect
+    stats.dp_cells_banded += int(valid.sum()) * cfg.max_read_len * band
     stats.device_s += device_s
     stats.host_s += host_s

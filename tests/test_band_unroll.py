@@ -10,7 +10,7 @@ from gnumap_tpu.utils import sim
 from gnumap_tpu.core import packing
 
 
-def _scores(unroll, lens_pattern):
+def _scores(unroll, lens_pattern, peel=True):
     cfg = MapperConfig(max_read_len=48, align_score_ratio=0.8)
     L, W = cfg.max_read_len, cfg.window_width()
     rng = np.random.default_rng(99)
@@ -40,7 +40,7 @@ def _scores(unroll, lens_pattern):
     return np.asarray(nw_pallas.nw_scores_banded(
         emis_t, cands, lens, gwords, L=L, W=W, slack=cfg.gap_slack,
         boff=boff, bw=bw, open_q=cfg.gap_open_q(), ext_q=cfg.gap_extend_q(),
-        interpret=True, rpt=32, unroll=unroll))
+        interpret=True, rpt=32, unroll=unroll, peel=peel))
 
 
 def test_unroll2_bit_identical_even_lens():
@@ -54,3 +54,12 @@ def test_unroll2_bit_identical_odd_maxlen():
     a = _scores(1, [47, 31, 45, 33])
     b = _scores(2, [47, 31, 45, 33])
     assert np.array_equal(a, b)
+
+
+def test_peel_bit_identical():
+    """Loop peeling (boundary-free body rows) must not change any score,
+    including short reads whose maxlen ends inside the head region."""
+    for pat in ([48, 40], [47, 31, 45, 33], [9, 48], [12]):
+        a = _scores(1, pat, peel=True)
+        b = _scores(1, pat, peel=False)
+        assert np.array_equal(a, b), pat

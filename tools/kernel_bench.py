@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--genome-len", type=int, default=4_000_000)
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--unrolls", default="1,2")
+    ap.add_argument("--peels", default="1",
+                    help="comma list of 0/1: A/B the boundary loop peel")
     ap.add_argument("--fill", type=float, default=1.0,
                     help="fraction of candidate slots that are real")
     args = ap.parse_args()
@@ -74,14 +76,17 @@ def main():
 
     n_cells = B2 * n_real * L * W          # nominal (LxW per candidate)
 
-    for unroll in (int(u) for u in args.unrolls.split(",")):
+    variants = [(int(u), bool(int(p)))
+                for u in args.unrolls.split(",")
+                for p in args.peels.split(",")]
+    for unroll, peel in variants:
         @jax.jit
         def probe():
             s = nw_pallas.nw_scores_banded(
                 emis_t, cands_j, lens_j, gwords, L=L, W=W,
                 slack=cfg.gap_slack, boff=boff, bw=bw,
                 open_q=cfg.gap_open_q(), ext_q=cfg.gap_extend_q(),
-                interpret=interpret, unroll=unroll)
+                interpret=interpret, unroll=unroll, peel=peel)
             return jnp.sum(jnp.where(s > -(1 << 28), s, 0))
 
         t0 = time.perf_counter()
@@ -93,9 +98,12 @@ def main():
             np.asarray(probe())
             best = min(best, time.perf_counter() - t)
         print(json.dumps({
-            "unroll": unroll, "b2": B2, "cands_real": n_real,
+            "unroll": unroll, "peel": peel, "b2": B2,
+            "cands_real": n_real,
             "best_s": round(best, 4),
             "gcells_nominal_per_s": round(n_cells / best / 1e9, 2),
+            "gcells_banded_per_s": round(
+                B2 * n_real * args.read_len * bw / best / 1e9, 2),
             "compile_s": round(compile_s, 1), "checksum": chk}),
             flush=True)
 
