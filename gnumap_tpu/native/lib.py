@@ -101,6 +101,19 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_double]
+        lib.format_sam_batch.restype = ctypes.c_int64
+        lib.format_sam_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # codes,
+            ctypes.c_int32, ctypes.c_int32,                      # quals,lens
+            ctypes.c_char_p, ctypes.c_void_p,                    # names
+            ctypes.c_char_p, ctypes.c_void_p,                    # rnames
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # read,flag,
+            ctypes.c_void_p, ctypes.c_void_p,                    # rn,pos,mapq
+            ctypes.c_char_p, ctypes.c_void_p,                    # cigars
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # score,xs,w
+            ctypes.c_int64,                                      # Nh
+            ctypes.c_void_p, ctypes.c_void_p,                    # unmapped,
+            ctypes.c_char_p, ctypes.c_int64]                     # skip; out
         lib.parse_fastq_chunk.restype = ctypes.c_int32
         lib.parse_fastq_chunk.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
@@ -281,3 +294,57 @@ def scatter_tallies(tallies: np.ndarray, pwm_q: np.ndarray,
         b_idx.ctypes.data, minus.ctypes.data, pos.ctypes.data,
         w.ctypes.data, len(pos), cbuf.ctypes.data, stride,
         tallies.ctypes.data, tallies.shape[0], float(pwm_scale))
+
+
+def format_sam_batch(codes, quals, lens, names, rnames,
+                     hit_read, hit_flag, hit_rname, hit_pos, hit_mapq,
+                     cigars, hit_score, hit_xs, hit_weight,
+                     unmapped, skip=None) -> bytes:
+    """One batch of SAM records as bytes, byte-identical to the io/sam.py
+    per-record formatting (tests/test_native.py).  ``cigars``: list[str],
+    "" = pure match of the read's full length; ``skip``: optional bool[B]
+    to emit nothing for a read (genome-partitioned multi-host mode)."""
+    lib = get_lib()
+    codes = np.ascontiguousarray(codes, np.int8)
+    quals = np.ascontiguousarray(quals, np.int16)
+    lens = np.ascontiguousarray(lens, np.int32)
+    B, Lmax = codes.shape
+    name_b = "".join(names).encode("ascii")
+    name_off = np.zeros(B + 1, np.int64)
+    np.cumsum([len(n) for n in names], out=name_off[1:])
+    rname_b = "".join(rnames).encode("ascii")
+    rname_off = np.zeros(len(rnames) + 1, np.int64)
+    np.cumsum([len(n) for n in rnames], out=rname_off[1:])
+    Nh = len(hit_read)
+    hit_read = np.ascontiguousarray(hit_read, np.int32)
+    hit_flag = np.ascontiguousarray(hit_flag, np.int32)
+    hit_rname = np.ascontiguousarray(hit_rname, np.int32)
+    hit_pos = np.ascontiguousarray(hit_pos, np.int64)
+    hit_mapq = np.ascontiguousarray(hit_mapq, np.int32)
+    hit_score = np.ascontiguousarray(hit_score, np.int32)
+    hit_xs = np.ascontiguousarray(hit_xs, np.float64)
+    hit_weight = np.ascontiguousarray(hit_weight, np.float64)
+    cigar_b = "".join(cigars).encode("ascii")
+    cigar_off = np.zeros(Nh + 1, np.int64)
+    if Nh:
+        np.cumsum([len(c) for c in cigars], out=cigar_off[1:])
+    unmapped = np.ascontiguousarray(unmapped, np.uint8)
+    skip_arr = (np.ascontiguousarray(skip, np.uint8)
+                if skip is not None else None)
+    cap = (int(name_off[-1]) + len(cigar_b) + Nh * (int(rname_off[-1]) //
+           max(1, len(rnames)) + 2 * Lmax + 128)
+           + B * (2 * Lmax + 64) + 1024)
+    out = ctypes.create_string_buffer(cap)
+    n = lib.format_sam_batch(
+        codes.ctypes.data, quals.ctypes.data, lens.ctypes.data, B, Lmax,
+        name_b, name_off.ctypes.data, rname_b, rname_off.ctypes.data,
+        hit_read.ctypes.data, hit_flag.ctypes.data, hit_rname.ctypes.data,
+        hit_pos.ctypes.data, hit_mapq.ctypes.data,
+        cigar_b, cigar_off.ctypes.data,
+        hit_score.ctypes.data, hit_xs.ctypes.data, hit_weight.ctypes.data,
+        Nh, unmapped.ctypes.data,
+        skip_arr.ctypes.data if skip_arr is not None else None,
+        out, cap)
+    if n < 0:
+        raise RuntimeError("format_sam_batch: output capacity exceeded")
+    return out.raw[:n]

