@@ -550,6 +550,23 @@ def profile_stages(cfg, gen, idx, recs, impl, iters=4):
         # pure upload + dispatch cost (trivial reduction of the input)
         return jnp.sum(p.astype(jnp.int32)) + jnp.sum(l)
 
+    def strand_fn(p, l, *big):
+        codes, pwm_q = _pwm(p, l, big)
+        idx_args, _, _, S_plus, S_minus, _ = m._split_big(big)
+        codes2, emis2 = pl.strand_expand(codes, pwm_q, l, S_plus, S_minus)
+        return jnp.sum(codes2.astype(jnp.int32)) + jnp.sum(emis2)
+
+    def gather_fn(p, l, *big):
+        # seed WITHOUT the dedupe: kmer codes + CSR gathers only
+        codes, pwm_q = _pwm(p, l, big)
+        idx_args, _, _, S_plus, S_minus, _ = m._split_big(big)
+        codes2, _ = pl.strand_expand(codes, pwm_q, l, S_plus, S_minus)
+        km, bad = pl.seed_kmers(codes2, jnp.asarray(m.offsets),
+                                cfg.mer_size)
+        cand = pl.csr_hits(km, bad, idx_args[0], idx_args[1],
+                           jnp.asarray(m.offsets), cfg)
+        return jnp.sum(cand)
+
     def seed_fn(p, l, *big):
         codes, pwm_q = _pwm(p, l, big)
         idx_args, _, _, S_plus, S_minus, _ = m._split_big(big)
@@ -582,6 +599,8 @@ def profile_stages(cfg, gen, idx, recs, impl, iters=4):
         return best
 
     t_h2d = run(h2d_fn)
+    t_strand = run(strand_fn)
+    t_gather = run(gather_fn) if m.index_kind == "csr" else t_strand
     t_seed = run(seed_fn)
     t_dp = run(dp_fn)
     t_tb = run(tb_fn)
@@ -589,6 +608,9 @@ def profile_stages(cfg, gen, idx, recs, impl, iters=4):
     ms = lambda x: round(x * 1000.0, 1)
     return {"batch": int(b.codes.shape[0]),
             "h2d_ms": ms(t_h2d),
+            "strand_ms": ms(t_strand - t_h2d),
+            "seed_gather_ms": ms(t_gather - t_strand),
+            "seed_dedupe_ms": ms(t_seed - t_gather),
             "seed_ms": ms(t_seed - t_h2d),
             "dp_ms": ms(t_dp - t_seed),
             "traceback_ms": ms(t_tb - t_dp),

@@ -265,11 +265,6 @@ def main(argv=None) -> int:
         # h, h+R, ... and maps EVERY read batch against them; posterior
         # denominators reduce across hosts per batch and the coverage
         # tracks merge bit-exactly (dist/segments.py docstring).
-        if multi and cfg.sam_out:
-            raise SystemExit(
-                "genome-partitioned multi-host runs (--segments with "
-                "--num-hosts > 1) emit coverage/SNP tracks only: add "
-                "--no-sam (per-read SAM records are split across hosts)")
         from gnumap_tpu.dist.segments import GlobalSegmentedMapper
         t0 = time.perf_counter()
         m = GlobalSegmentedMapper(genome, cfg, align_impl=impl,
@@ -307,6 +302,7 @@ def main(argv=None) -> int:
             sam_f.seek(0)
             sam_io.write_header(sam_f, genome.names, genome.lengths,
                                 cmd=" ".join(sys.argv))
+    genome_partitioned = multi and index is None
     callbacks = []
     if args.verbose:
         def _vcb(idx, s):
@@ -319,7 +315,30 @@ def main(argv=None) -> int:
                 "device_s": round(s.device_s, 3),
                 "host_s": round(s.host_s, 3)}), file=sys.stderr)
         callbacks.append(_vcb)
-    if multi and sam_bin is not None:
+    if multi and sam_bin is not None and genome_partitioned:
+        # per-RECORD index rows (batch, read, key) aligned with the shard
+        # lines; host 0 interleaves them (multihost.merge_sam_shards_gp)
+        _gp_rows: list = []
+        _, idx_path = multihost.shard_paths(args.output, args.host_id)
+        if args.checkpoint and os.path.exists(args.checkpoint):
+            from gnumap_tpu.pipeline import checkpoint as _ckpt
+            st = _ckpt.load(args.checkpoint)
+            if st is not None and os.path.exists(idx_path):
+                for line in open(idx_path).read().splitlines():
+                    row = tuple(json.loads(line))
+                    if row[0] < st.batches_done:
+                        _gp_rows.append(row)
+
+        def _gp_cb(idx, s):
+            gp = getattr(m, "gp_sam", None)
+            if gp is not None:
+                for rd, key in gp["records"]:
+                    _gp_rows.append((idx - 1, rd, key))
+            if args.checkpoint:
+                sam_f.flush()
+                multihost.write_shard_index(idx_path, _gp_rows)
+        callbacks.append(_gp_cb)
+    elif multi and sam_bin is not None:
         _prev = [0]
         _k = [0]
         _, idx_path = multihost.shard_paths(args.output, args.host_id)
@@ -364,7 +383,6 @@ def main(argv=None) -> int:
     # (each host parses only ~1/R of the file); batch stride otherwise.
     # Genome-partitioned mode BROADCASTS reads instead (every host maps
     # every batch against its own segments — SURVEY.md §3.5 RAM-bound).
-    genome_partitioned = multi and index is None
     byte_range_mode = (
         multi and not genome_partitioned and len(args.reads) == 1
         and not args.reads[0].endswith(("_prb.txt", ".prb", "_int.txt",
@@ -405,15 +423,20 @@ def main(argv=None) -> int:
         if sam_f:
             sam_f.close()
             _, idx_path = multihost.shard_paths(args.output, args.host_id)
-            multihost.write_shard_index(idx_path, spans)
+            multihost.write_shard_index(
+                idx_path, _gp_rows if genome_partitioned else spans)
         multihost.barrier("gnumap_sam_shards")
         if sam_f and args.host_id == 0:
             import io as _io
             hdr = _io.StringIO()
             sam_io.write_header(hdr, genome.names, genome.lengths,
                                 cmd=" ".join(sys.argv))
-            multihost.merge_sam_shards(args.output, args.num_hosts,
-                                       hdr.getvalue())
+            if genome_partitioned:
+                multihost.merge_sam_shards_gp(args.output, args.num_hosts,
+                                              hdr.getvalue())
+            else:
+                multihost.merge_sam_shards(args.output, args.num_hosts,
+                                           hdr.getvalue())
             if args.sort_sam:
                 sam_io.sort_sam_file(sam_path, genome.names)
     elif sam_f:

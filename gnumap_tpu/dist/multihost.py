@@ -55,14 +55,16 @@ def strided(batches: Iterable, num_hosts: int, host_id: int) -> Iterator:
 
 
 def allreduce_f64(local: np.ndarray,
-                  chunk_elems: int = 8 << 20) -> np.ndarray:
-    """Deterministic cross-host float64 sum (the MPI_Reduce analog).
+                  chunk_elems: int = 8 << 20,
+                  op: str = "sum") -> np.ndarray:
+    """Deterministic cross-host float64 reduce (the MPI_Reduce analog);
+    ``op`` = "sum" or "min".
 
     Chunked all_gather of the uint32 bit view (exact), then an explicitly
-    host-ordered summation per chunk — every host computes the identical
+    host-ordered reduction per chunk — every host computes the identical
     result, and peak transient memory is R x chunk (64 MiB per peer at
     the default chunk), independent of array size.  Chunking cannot change
-    any bit: each element is still summed host 0..R-1 in order."""
+    any bit: each element is still reduced host 0..R-1 in order."""
     from jax.experimental import multihost_utils
     shape = local.shape
     flat = np.ascontiguousarray(local, dtype=np.float64).reshape(-1)
@@ -77,7 +79,10 @@ def allreduce_f64(local: np.ndarray,
             g.reshape(g.shape[0], -1)).view(np.float64)
         acc = parts[0].copy()
         for r in range(1, parts.shape[0]):
-            acc += parts[r]
+            if op == "min":
+                np.minimum(acc, parts[r], out=acc)
+            else:
+                acc += parts[r]
         out[lo:lo + chunk_elems] = acc
     return out.reshape(shape)
 
@@ -138,6 +143,44 @@ def write_shard_index(idx_path: str,
     with open(idx_path, "w") as f:
         for row in spans:
             f.write(json.dumps(row) + "\n")
+
+
+def merge_sam_shards_gp(output: str, num_hosts: int, header: str) -> None:
+    """Host-0 SAM merge for the GENOME-PARTITIONED mode: a read's records
+    are split across hosts (host h owns segments h, h+R, ...), so the
+    merge interleaves at RECORD granularity.  Each host's shard holds its
+    records in (global batch, read, (2*pos + strand) key) order and its
+    index file carries one (batch, read, key) row per record, aligned 1:1
+    with the shard's lines; coordinates partition across hosts, so keys
+    never tie and the merged order is exactly the single-process
+    segmented emission order (read-ascending, hits by (pos, strand)).
+    Whole shards are held in memory — fine for the RAM-bound mode this
+    serves (records ~ reads, and reads already fit every host's RAM by
+    assumption)."""
+    per_host_lines = []
+    rows = []
+    for h in range(num_hosts):
+        body, idx = shard_paths(output, h)
+        with open(body, "rb") as f:
+            lines = f.read().splitlines(keepends=True)
+        with open(idx) as f:
+            meta = [json.loads(line) for line in f]
+        if len(lines) != len(meta):
+            raise RuntimeError(
+                f"gp shard {h}: {len(lines)} records vs "
+                f"{len(meta)} index rows")
+        for i, (bt, rd, key) in enumerate(meta):
+            rows.append((bt, rd, key, h, i))
+        per_host_lines.append(lines)
+    rows.sort()
+    with open(output + ".sam", "wb") as out:
+        out.write(header.encode())
+        for bt, rd, key, h, i in rows:
+            out.write(per_host_lines[h][i])
+    for h in range(num_hosts):
+        body, idx = shard_paths(output, h)
+        os.remove(body)
+        os.remove(idx)
 
 
 def merge_sam_shards(output: str, num_hosts: int, header: str) -> None:

@@ -245,19 +245,46 @@ class GlobalSegmentedMapper:
             # own segments' hits (r4 advisor: local-only counts understate
             # the mapped rate in genome-partitioned mode).  Counts need no
             # cross-host dedupe: segments partition the coordinate space,
-            # so no two hosts can hold the same (pos, strand) hit.
+            # so no two hosts can hold the same (pos, strand) hit.  A
+            # third reduce (min) carries each read's smallest global
+            # (pos, strand) key, deciding which host owns the PRIMARY SAM
+            # record — the single-host rule "first hit in merged order"
+            # made global.  Keys are exact in f64 (2*pos + strand << 2^53).
             from gnumap_tpu.dist import multihost
+            BIGK = float(1 << 62)
             loc = np.zeros((2, batch.n), np.float64)
-            for seg_hits in per:
+            mk = np.full(batch.n, BIGK, np.float64)
+            for base, seg_hits in zip(self.bases, per):
                 for b, hits in enumerate(seg_hits):
                     for h in hits:
                         loc[0, b] += h.score
                         loc[1, b] += 1.0
+                        key = float(2 * (base + h.pos)
+                                    + (h.strand == "-"))
+                        if key < mk[b]:
+                            mk[b] = key
             red = multihost.allreduce_f64(loc)
+            minkey = multihost.allreduce_f64(mk, op="min")
             totals = red[0]
             g_mapped = int((red[1] >= 1.0).sum())
             g_multi = int((red[1] >= 2.0).sum())
         out = self._merge_global(per, totals=totals, n=batch.n)
+        if self.num_hosts > 1:
+            # explicit primacy + the per-batch SAM metadata map_stream and
+            # the CLI's genome-partitioned record merge consume (gp_sam is
+            # re-set every batch; records are (read, key) in this host's
+            # emission order; key -1 = the unmapped record host 0 emits
+            # for globally-unmapped reads)
+            mapped_g = red[1] >= 1.0
+            recs: List[Tuple[int, int]] = []
+            for b, hits in enumerate(out):
+                for h in hits:
+                    k = 2 * h.pos + (h.strand == "-")
+                    h.primary = (k == int(minkey[b]))
+                    recs.append((b, k))
+                if not hits and not mapped_g[b] and self.host_id == 0:
+                    recs.append((b, -1))
+            self.gp_sam = {"mapped": mapped_g, "records": recs}
         if stats is not None:
             stats.n_reads += batch.n
             stats.n_mapped += (g_mapped if g_mapped is not None

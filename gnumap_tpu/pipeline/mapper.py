@@ -377,7 +377,8 @@ def device_hit_rows(cfg: MapperConfig, cands, valid, scores, max_sc,
     with jax.named_scope("nw_traceback"):
         band = cfg.band()
         split = (band is not None and cfg.gap_open_q() > 0
-                 and cfg.gap_extend_q() > 0)
+                 and cfg.gap_extend_q() > 0
+                 and os.environ.get("GNUMAP_TB_SPLIT", "1") != "0")
         if split:
             # [FROZEN v6] traceback split: prove the all-M hits pure with
             # the cheap forward-only kernel (~1/11 of the scoring kernel's
@@ -910,9 +911,14 @@ class TpuMapper:
                 cand = fm_hits(km, bad, *idx_args, self.offsets, cfg)
             else:
                 cand = csr_hits(km, bad, *idx_args, self.offsets, cfg)
+        # r5 on-chip A/B at headline shapes (batch 16384): seed stage =
+        # 42.7 ms with the two-sort dedupe vs 53.3 ms matrix vs 74.4 ms
+        # top_k -- the sorts are NOT the dominant seed cost, so the sort
+        # formulation stays the default and the sort-free variants remain
+        # A/B references (GNUMAP_DEDUPE_IMPL=matrix|sort).
         cands = dedupe_cap(cand, cfg.max_candidates,
                            impl=os.environ.get("GNUMAP_DEDUPE_IMPL",
-                                               "matrix"))
+                                               "sort"))
         return cands, cands != SENTINEL
 
     def _split_big(self, big):
@@ -1468,73 +1474,104 @@ def map_stream(mapper: TpuMapper, batches: Iterable[ReadBatch],
     from gnumap_tpu.native import lib as native_lib
     use_native_sam = cfg.sam_out and native_lib.available()
     batch_idx = start_batch
-    for batch, hits_per_read in results():
-        # batch-level vectorized string prep (10M chr() calls per 100k
-        # reads otherwise — a real CLI bottleneck)
-        if cfg.sam_out and not use_native_sam:
-            qbytes = (batch.quals[:batch.n] + 33).astype(np.uint8)
-        # coverage/tally scatter-add is batched: the per-read loop only
-        # collects (pos, ref_len, weight) rows; ONE ordered np.add.at per
-        # batch then applies them bit-identically to the old per-hit
-        # slice-add loop (VERDICT.md missing #4: the per-hit Python loop
-        # was the next host ceiling at 100M-read scale)
-        cov_rows: List[Tuple[int, int, float]] = []
-        tally_rows: List[Tuple[int, bool, int, float, Optional[str]]] = []
-        py_sam = cfg.sam_out and not use_native_sam
-        for b, hits in enumerate(hits_per_read):
-            L = int(batch.lens[b])
-            codes = batch.codes[b, :L]
-            if py_sam:
-                seq = packing.decode(codes)
-                qual = qbytes[b, :L].tobytes().decode("ascii")
-            else:
-                seq = qual = ""
-            if not hits:
+    _ck_fut: list = [None]
+    try:
+        for batch, hits_per_read in results():
+            # batch-level vectorized string prep (10M chr() calls per 100k
+            # reads otherwise — a real CLI bottleneck)
+            if cfg.sam_out and not use_native_sam:
+                qbytes = (batch.quals[:batch.n] + 33).astype(np.uint8)
+            # coverage/tally scatter-add is batched: the per-read loop only
+            # collects (pos, ref_len, weight) rows; ONE ordered np.add.at per
+            # batch then applies them bit-identically to the old per-hit
+            # slice-add loop (VERDICT.md missing #4: the per-hit Python loop
+            # was the next host ceiling at 100M-read scale)
+            cov_rows: List[Tuple[int, int, float]] = []
+            tally_rows: List[Tuple[int, bool, int, float, Optional[str]]] = []
+            py_sam = cfg.sam_out and not use_native_sam
+            # genome-partitioned multi-host SAM: the mapper decides, per read,
+            # whether THIS host owns its records (segments.GlobalSegmentedMapper
+            # sets gp_sam each batch)
+            gp = (getattr(mapper, "gp_sam", None)
+                  if cfg.sam_out and getattr(mapper, "num_hosts", 1) > 1
+                  else None)
+            gp_host = getattr(mapper, "host_id", 0)
+            for b, hits in enumerate(hits_per_read):
+                L = int(batch.lens[b])
+                codes = batch.codes[b, :L]
                 if py_sam:
-                    emit(sam_io.unmapped_record(batch.names[b], seq, qual))
-                continue
-            for hi, h in enumerate(hits):
-                if coverage is not None:
-                    cov_rows.append((h.pos, h.ref_len, h.weight))
-                if tallies is not None:
-                    pure = h.cigar == f"{L}M"
-                    tally_rows.append((b, h.strand == "-", h.pos, h.weight,
-                                       None if pure else h.cigar))
-                if py_sam:
-                    ci, off = gen.locate(h.pos)
-                    sec = ((hi > 0) if h.primary is None
-                           else not h.primary)
-                    flag = (16 if h.strand == "-" else 0) | (
-                        256 if sec else 0)
-                    if h.strand == "-":
-                        oseq = packing.decode(packing.revcomp(codes))
-                        oqual = qual[::-1]
-                    else:
-                        oseq, oqual = seq, qual
-                    emit(sam_io.record(
-                        batch.names[b], flag, gen.names[int(ci)], int(off),
-                        sam_io.mapq_from_weight(h.weight), h.cigar,
-                        oseq, oqual, h.score, h.weight))
-        if use_native_sam:
-            emit(format_sam_batch_native(gen, batch, hits_per_read))
-        if coverage is not None:
-            _scatter_coverage(coverage, cov_rows)
-        if tallies is not None and tally_rows:
-            _scatter_tallies(tallies, batch, tally_rows)
-        batch_idx += 1
-        if checkpoint_path and batch_idx % checkpoint_every == 0:
-            off = 0
-            if sam_file is not None:
-                sam_file.flush()
-                off = sam_file.tell()
-            if dev_acc:
-                cov_ck, tal_ck = mapper.fetch_accumulators()
-            else:
-                cov_ck, tal_ck = coverage, tallies
-            ckpt_mod.save(checkpoint_path, ckpt_mod.StreamState(
-                batch_idx, cov_ck, tal_ck, stats, off))
-        if batch_callback is not None:
-            batch_callback(batch_idx, stats)
+                    seq = packing.decode(codes)
+                    qual = qbytes[b, :L].tobytes().decode("ascii")
+                else:
+                    seq = qual = ""
+                if not hits:
+                    if py_sam and not (gp is not None
+                                       and (bool(gp["mapped"][b])
+                                            or gp_host != 0)):
+                        emit(sam_io.unmapped_record(batch.names[b], seq, qual))
+                    continue
+                for hi, h in enumerate(hits):
+                    if coverage is not None:
+                        cov_rows.append((h.pos, h.ref_len, h.weight))
+                    if tallies is not None:
+                        pure = h.cigar == f"{L}M"
+                        tally_rows.append((b, h.strand == "-", h.pos, h.weight,
+                                           None if pure else h.cigar))
+                    if py_sam:
+                        ci, off = gen.locate(h.pos)
+                        sec = ((hi > 0) if h.primary is None
+                               else not h.primary)
+                        flag = (16 if h.strand == "-" else 0) | (
+                            256 if sec else 0)
+                        if h.strand == "-":
+                            oseq = packing.decode(packing.revcomp(codes))
+                            oqual = qual[::-1]
+                        else:
+                            oseq, oqual = seq, qual
+                        emit(sam_io.record(
+                            batch.names[b], flag, gen.names[int(ci)], int(off),
+                            sam_io.mapq_from_weight(h.weight), h.cigar,
+                            oseq, oqual, h.score, h.weight))
+            if use_native_sam:
+                emit(format_sam_batch_native(gen, batch, hits_per_read,
+                                             gp=gp, host_id=gp_host))
+            if coverage is not None:
+                _scatter_coverage(coverage, cov_rows)
+            if tallies is not None and tally_rows:
+                _scatter_tallies(tallies, batch, tally_rows)
+            batch_idx += 1
+            if checkpoint_path and batch_idx % checkpoint_every == 0:
+                # async checkpointing (VERDICT.md r4 weak #5: the synchronous
+                # fetch + compress + write cost 27.5% at 1M-read scale): the
+                # state is SNAPSHOTTED on the stream thread (array copies;
+                # device fetch for dev_acc — the donated buffers can't be
+                # read later), then serialized + written on a background
+                # thread.  One write in flight max: the next checkpoint (or
+                # stream end / unwind) joins the previous first, and save()'s
+                # tmp+rename keeps every on-disk state complete.
+                if _ck_fut[0] is not None:
+                    _ck_fut[0].result()
+                    _ck_fut[0] = None
+                off = 0
+                if sam_file is not None:
+                    sam_file.flush()
+                    off = sam_file.tell()
+                if dev_acc:
+                    cov_ck, tal_ck = mapper.fetch_accumulators()
+                else:
+                    cov_ck = None if coverage is None else coverage.copy()
+                    tal_ck = None if tallies is None else tallies.copy()
+                st_ck = ckpt_mod.StreamState(
+                    batch_idx, cov_ck, tal_ck, dataclasses.replace(stats), off)
+                _ck_fut[0] = _ck_pool().submit(
+                    ckpt_mod.save, checkpoint_path, st_ck)
+            if batch_callback is not None:
+                batch_callback(batch_idx, stats)
+    finally:
+        # join any in-flight checkpoint write so callers (and
+        # the kill/restart tests) see a complete on-disk state
+        if _ck_fut[0] is not None:
+            _ck_fut[0].result()
     if dev_acc:
         coverage, tallies = mapper.fetch_accumulators()
         if not (cfg.sgr_out or cfg.sgrex_out or cfg.snp_mode):
@@ -1543,11 +1580,12 @@ def map_stream(mapper: TpuMapper, batches: Iterable[ReadBatch],
 
 
 def format_sam_batch_native(gen: Genome, batch: ReadBatch, hits_per_read,
-                            skip=None) -> str:
+                            gp=None, host_id: int = 0) -> str:
     """One batch of SAM records via the native formatter — byte-identical
     to the per-record io/sam.py path (tests/test_native.py, goldens).
-    ``skip``: optional bool[n] — emit nothing for those reads (genome-
-    partitioned multi-host mode, where another host owns the record)."""
+    ``gp``: genome-partitioned multi-host metadata (segments.gp_sam) —
+    a read with no LOCAL hits emits nothing when another host owns its
+    records (globally mapped, or unmapped with host_id != 0)."""
     from gnumap_tpu.config import SCORE_ONE
     from gnumap_tpu.native import lib as native_lib
     n = batch.n
@@ -1559,9 +1597,13 @@ def format_sam_batch_native(gen: Genome, batch: ReadBatch, hits_per_read,
     scores: List[int] = []
     weights: List[float] = []
     unmapped = np.zeros(n, np.uint8)
+    skip = np.zeros(n, np.uint8) if gp is not None else None
     for b, hits in enumerate(hits_per_read):
         if not hits:
-            unmapped[b] = 1
+            if gp is not None and (bool(gp["mapped"][b]) or host_id != 0):
+                skip[b] = 1
+            else:
+                unmapped[b] = 1
             continue
         pure = f"{int(lens[b])}M"
         for hi, h in enumerate(hits):
@@ -1748,6 +1790,19 @@ def finish_read(genome: Genome, cfg: MapperConfig, strand_rows
         h.weight = h.score / total
     hits.sort(key=lambda h: (h.pos, 0 if h.strand == "+" else 1))
     return hits
+
+
+_CK_POOL = None
+
+
+def _ck_pool():
+    """Single background writer for async stream checkpoints."""
+    global _CK_POOL
+    if _CK_POOL is None:
+        import concurrent.futures
+        _CK_POOL = concurrent.futures.ThreadPoolExecutor(
+            1, thread_name_prefix="gnumap-ckpt")
+    return _CK_POOL
 
 
 _FINISH_POOL = None

@@ -93,7 +93,7 @@ def test_two_process_segmented_matches_single(tmp_path):
 
     common = ["-g", str(tmp_path / "g.fa"), str(tmp_path / "r.fq"),
               "-m", "9", "-j", "4", "-L", "44", "-B", "16", "--snp",
-              "--segments", "2", "--no-sam"]
+              "--segments", "2"]
 
     p = _run_cli(["-o", str(tmp_path / "single")] + common)
     out, err = p.communicate(timeout=420)
@@ -109,6 +109,14 @@ def test_two_process_segmented_matches_single(tmp_path):
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, err[-2000:]
 
+    def body(p):
+        return [l for l in open(p) if not l.startswith("@PG")]
+
+    # per-read SAM records are split across hosts in this mode; the
+    # record-level merge must reproduce the single-process emission
+    # byte-for-byte (VERDICT.md r4 missing #4)
+    assert body(tmp_path / "single.sam") == body(tmp_path / "multi.sam")
+    assert not list(tmp_path.glob("multi.sam.host*"))
     assert (tmp_path / "single.sgr").read_text() == \
            (tmp_path / "multi.sgr").read_text()
     assert (tmp_path / "single.sgrex").read_text() == \

@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--unrolls", default="1,2")
     ap.add_argument("--peels", default="1",
                     help="comma list of 0/1: A/B the boundary loop peel")
+    ap.add_argument("--rpts", default="128",
+                    help="comma list of reads-per-tile values")
     ap.add_argument("--fill", type=float, default=1.0,
                     help="fraction of candidate slots that are real")
     args = ap.parse_args()
@@ -76,17 +78,18 @@ def main():
 
     n_cells = B2 * n_real * L * W          # nominal (LxW per candidate)
 
-    variants = [(int(u), bool(int(p)))
+    variants = [(int(u), bool(int(p)), int(r))
                 for u in args.unrolls.split(",")
-                for p in args.peels.split(",")]
-    for unroll, peel in variants:
+                for p in args.peels.split(",")
+                for r in args.rpts.split(",")]
+    for unroll, peel, rpt in variants:
         @jax.jit
         def probe():
             s = nw_pallas.nw_scores_banded(
                 emis_t, cands_j, lens_j, gwords, L=L, W=W,
                 slack=cfg.gap_slack, boff=boff, bw=bw,
                 open_q=cfg.gap_open_q(), ext_q=cfg.gap_extend_q(),
-                interpret=interpret, unroll=unroll, peel=peel)
+                interpret=interpret, unroll=unroll, peel=peel, rpt=rpt)
             return jnp.sum(jnp.where(s > -(1 << 28), s, 0))
 
         t0 = time.perf_counter()
@@ -98,7 +101,7 @@ def main():
             np.asarray(probe())
             best = min(best, time.perf_counter() - t)
         print(json.dumps({
-            "unroll": unroll, "peel": peel, "b2": B2,
+            "unroll": unroll, "peel": peel, "rpt": rpt, "b2": B2,
             "cands_real": n_real,
             "best_s": round(best, 4),
             "gcells_nominal_per_s": round(n_cells / best / 1e9, 2),
