@@ -18,11 +18,24 @@ from gnumap_tpu.index.builder import Genome
 
 def write_sgr(f: IO[str], genome: Genome, coverage: np.ndarray,
               min_emit: float = 1e-6) -> None:
+    from gnumap_tpu.native import lib as native_lib
+    native = native_lib.available()
     for ci, name in enumerate(genome.names):
         s = int(genome.starts[ci])
         l = int(genome.lengths[ci])
         cov = coverage[s:s + l]
         (nz,) = np.nonzero(cov >= min_emit)
+        if native and len(nz) > 4096:
+            # chunked native formatting: ~60-90 s of per-line f-strings
+            # at chr21 scale otherwise (printf %.4f == Python :.4f,
+            # tests/test_native.py)
+            CH = 1 << 20
+            for lo in range(0, len(nz), CH):
+                sel = nz[lo:lo + CH]
+                f.write(native_lib.format_sgr(
+                    name, sel.astype(np.int64) + 1,
+                    cov[sel]).decode("ascii"))
+            continue
         for p in nz:
             f.write(f"{name}\t{int(p) + 1}\t{cov[p]:.4f}\n")
 

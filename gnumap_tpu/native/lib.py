@@ -114,6 +114,11 @@ def get_lib():
             ctypes.c_int64,                                      # Nh
             ctypes.c_void_p, ctypes.c_void_p,                    # unmapped,
             ctypes.c_char_p, ctypes.c_int64]                     # skip; out
+        lib.format_sgr.restype = ctypes.c_int64
+        lib.format_sgr.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_char_p,
+            ctypes.c_int64]
         lib.parse_fastq_chunk.restype = ctypes.c_int32
         lib.parse_fastq_chunk.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
@@ -347,4 +352,20 @@ def format_sam_batch(codes, quals, lens, names, rnames,
         out, cap)
     if n < 0:
         raise RuntimeError("format_sam_batch: output capacity exceeded")
+    return out.raw[:n]
+
+
+def format_sgr(name: str, pos: np.ndarray, val: np.ndarray) -> bytes:
+    """SGR lines for one contig (1-based positions), byte-identical to the
+    io/sgr.py per-line f-string path."""
+    lib = get_lib()
+    pos = np.ascontiguousarray(pos, np.int64)
+    val = np.ascontiguousarray(val, np.float64)
+    nb = name.encode("ascii")
+    cap = len(pos) * (len(nb) + 48) + 64
+    out = ctypes.create_string_buffer(cap)
+    n = lib.format_sgr(nb, len(nb), pos.ctypes.data, val.ctypes.data,
+                       len(pos), out, cap)
+    if n < 0:
+        raise RuntimeError("format_sgr: capacity exceeded")
     return out.raw[:n]

@@ -155,3 +155,25 @@ int64_t format_sam_batch(
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// SGR lines "name\tpos\tcov(%.4f)\n" for one contig's nonzero positions.
+// Returns bytes written, or -1 on capacity overflow.
+int64_t format_sgr(const char* name, int64_t name_n,
+                   const int64_t* pos,      // [N] 1-based positions
+                   const double* val,       // [N]
+                   int64_t N, char* out, int64_t out_cap) {
+    char* p = out;
+    char* end = out + out_cap;
+    for (int64_t i = 0; i < N; ++i) {
+        if (p + name_n + 48 > end) return -1;
+        p = put_str(p, name, name_n);
+        *p++ = '\t';
+        p = put_u(p, pos[i]);
+        p += std::snprintf(p, (size_t)(end - p), "\t%.4f\n", val[i]);
+    }
+    return p - out;
+}
+
+}  // extern "C"

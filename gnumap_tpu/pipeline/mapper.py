@@ -93,15 +93,28 @@ def _cells_per_cand(cfg: "MapperConfig"):
 
 def revcomp_batch(codes, pwm_q, lens):
     """Length-aware reverse complement so the rc read still occupies
-    positions [0, len) with N/zero padding at the tail."""
+    positions [0, len) with N/zero padding at the tail.
+
+    The positional reversal is a ONE-HOT f32 MATMUL, not a gather: TPU
+    gathers serialize per element (~20 ms/batch for the (B, L) +
+    (B, L, 4) take_along_axis pair at headline shapes — the r5 on-chip
+    strand_ms profile), while the (B, L, L) one-hot contraction is dense
+    MXU work.  Exact: each output row has exactly one nonzero term and
+    every value (codes <= 4, PWM <= 4096) is f32-representable."""
     B, L = codes.shape
     ar = jnp.arange(L, dtype=jnp.int32)
     src = jnp.clip(lens[:, None] - 1 - ar[None, :], 0, L - 1)
     in_read = ar[None, :] < lens[:, None]
-    g = jnp.take_along_axis(codes.astype(jnp.int32), src, axis=1)
+    oh = (src[:, :, None] == ar[None, None, :]).astype(jnp.float32)
+    payload = jnp.concatenate(
+        [codes.astype(jnp.float32)[:, :, None],
+         pwm_q.astype(jnp.float32)], axis=2)             # (B, L, 5)
+    gathered = jnp.einsum("bij,bjk->bik", oh, payload,
+                          preferred_element_type=jnp.float32)
+    g = gathered[:, :, 0].astype(jnp.int32)
+    pw = gathered[:, :, 1:].astype(jnp.int32)
     rc_codes = jnp.where(in_read,
                          jnp.where(g < 4, 3 - g, 4), 4).astype(jnp.int8)
-    pw = jnp.take_along_axis(pwm_q, src[:, :, None], axis=1)
     rc_pwm = jnp.where(in_read[:, :, None], pw[:, :, ::-1], 0)
     return rc_codes, rc_pwm
 
@@ -296,13 +309,26 @@ def _materialize(dev_out) -> np.ndarray:
 
 
 def device_pwm(codes, quals, lens, table):
-    """PWM reconstruction on device: one (qual, code) table gather —
-    bit-identical to core/pwm.pwm_from_calls (the table is built with it),
-    with pad positions zeroed (the frozen pad-row rule).  Ships (codes,
-    quals) instead of the (B, L, 4) int32 PWM over the host->device link."""
-    q = jnp.clip(quals.astype(jnp.int32), 0, table.shape[0] - 1)
+    """PWM reconstruction on device — bit-identical to
+    core/pwm.pwm_from_calls (the table is built with it), with pad
+    positions zeroed (the frozen pad-row rule).  Ships (codes, quals)
+    instead of the (B, L, 4) int32 PWM over the host->device link.
+
+    The (qual, code) lookup is a ONE-HOT f32 MATMUL over the 128-entry
+    qual axis + a 5-way code select, not a gather (TPU element gathers
+    serialized this into ~half the r5 strand_ms profile).  Exact: one
+    nonzero term per output, values <= 4096 < 2^24."""
+    Q = table.shape[0]
+    q = jnp.clip(quals.astype(jnp.int32), 0, Q - 1)
     c = jnp.clip(codes.astype(jnp.int32), 0, 4)
-    pw = table[q, c]
+    oh = (q[:, :, None] == jnp.arange(Q, dtype=jnp.int32)[None, None, :]
+          ).astype(jnp.float32)
+    tq = jnp.einsum("blq,qck->blck", oh, table.astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+    pw = tq[:, :, 4, :]
+    for v in range(4):
+        pw = jnp.where((c == v)[:, :, None], tq[:, :, v, :], pw)
+    pw = pw.astype(jnp.int32)
     L = codes.shape[1]
     in_read = jnp.arange(L, dtype=jnp.int32)[None, :] < lens[:, None]
     return jnp.where(in_read[:, :, None], pw, 0)

@@ -30,7 +30,8 @@ sys.path.insert(0, REPO)
 
 
 def gen_workload(td: str, n_reads: int, genome_len: int, read_len: int):
-    """Streaming FASTQ generation (1M reads ~ 240 MB; no giant lists)."""
+    """Vectorized streaming FASTQ generation (10M reads ~ 2.5 GB in ~1-2
+    min; the old per-read loop cost ~50 us/read — 8+ min at 10M)."""
     from gnumap_tpu.core import packing
     from gnumap_tpu.utils import sim
 
@@ -41,30 +42,33 @@ def gen_workload(td: str, n_reads: int, genome_len: int, read_len: int):
     g = packing.encode(genome)
     G = len(g)
     rng = np.random.default_rng(7)
-    chunk = 65536
-    qual_str = np.frombuffer(b"!", np.uint8)
-    with open(fq, "w") as f:
+    chunk = 131072
+    lut = np.frombuffer(b"ACGTN", np.uint8)
+    rl = read_len
+    with open(fq, "wb") as f:
         done = 0
         while done < n_reads:
             n = min(chunk, n_reads - done)
-            pos = rng.integers(0, G - read_len - 4, size=n)
-            strand = rng.random(n) < 0.5
-            quals = rng.integers(20, 41, size=(n, read_len))
-            err = rng.random((n, read_len)) < 0.01
-            shift = rng.integers(1, 4, size=(n, read_len))
+            pos = rng.integers(0, G - rl - 4, size=n)
+            minus = rng.random(n) < 0.5
+            frag = g[pos[:, None] + np.arange(rl)[None, :]]
+            rc = 3 - frag[:, ::-1]
+            frag = np.where(minus[:, None], rc, frag)
+            err = rng.random((n, rl)) < 0.01
+            shift = rng.integers(1, 4, size=(n, rl))
+            frag = np.where(err, (frag + shift) % 4, frag)
+            quals = rng.integers(20, 41, size=(n, rl))
+            seq_b = lut[frag]                       # (n, rl) uint8
+            qual_b = (33 + quals).astype(np.uint8)
             rows = []
+            sv = seq_b.view("S%d" % rl)[:, 0]
+            qv = qual_b.view("S%d" % rl)[:, 0]
             for i in range(n):
-                frag = g[pos[i]:pos[i] + read_len].copy()
-                if not strand[i]:
-                    frag = packing.revcomp(frag)
-                frag = np.where(err[i], (frag + shift[i]) % 4,
-                                frag).astype(np.int8)
-                s = "+" if strand[i] else "-"
-                rows.append(
-                    f"@sim_{done + i}_ref_sim_{pos[i]}_{s}\n"
-                    f"{packing.decode(frag)}\n+\n"
-                    f"{''.join(chr(33 + int(q)) for q in quals[i])}\n")
-            f.write("".join(rows))
+                st = "+" if not minus[i] else "-"
+                rows.append(b"@sim_%d_ref_sim_%d_%s\n%s\n+\n%s\n"
+                            % (done + i, pos[i], st.encode(),
+                               sv[i], qv[i]))
+            f.write(b"".join(rows))
             done += n
     return fa, fq
 
@@ -109,6 +113,10 @@ def main():
     ap.add_argument("--out", default=os.path.join(REPO, "SCALE_1M.json"))
     ap.add_argument("--workdir", default="/tmp/gnumap_scale")
     ap.add_argument("--batch-size", type=int, default=8192)
+    ap.add_argument("--mer", type=int, default=12)
+    ap.add_argument("--sgr", action="store_true",
+                    help="emit the SGR coverage track (BASELINE config 3)")
+    ap.add_argument("--checkpoint-every", type=int, default=16)
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -121,9 +129,10 @@ def main():
                               args.read_len)
     gen_s = time.perf_counter() - t0
 
-    common_opts = ["-m", "12", "-j", "5", "-L", "104",
-                   "-B", str(args.batch_size), "-q", "32", "-k", "8",
-                   "--no-sgr"]
+    common_opts = ["-m", str(args.mer), "-j", "5", "-L", "104",
+                   "-B", str(args.batch_size), "-q", "32", "-k", "8"]
+    if not args.sgr:
+        common_opts.append("--no-sgr")
     common = ["-g", fa, fq] + common_opts
 
     # warmup: a 16k-read slice through the same program shapes, so the
@@ -152,7 +161,8 @@ def main():
         os.remove(ck)
     t2 = time.perf_counter()
     done2 = run_cli(["-o", os.path.join(args.workdir, "ckpt"),
-                     "--checkpoint", ck, "--checkpoint-every", "16"]
+                     "--checkpoint", ck,
+                     "--checkpoint-every", str(args.checkpoint_every)]
                     + common, rss2)
     wall2 = time.perf_counter() - t2
 
