@@ -441,6 +441,42 @@ def kernel_bitcheck():
         if n_pure < len(keep) // 4:
             return False, n_checked, (
                 f"pure-detect skipped too little: {n_pure}/{len(keep)}")
+    # device PWM + revcomp one-hot matmuls vs the host tables: TPU lowers
+    # matmuls through bf16 passes, so this check runs ON THE BACKEND and
+    # guards the limb-split exactness (a plain f32 einsum silently rounded
+    # PWM values > 256 — caught as a one-read mapped diff on chip)
+    from gnumap_tpu.pipeline import mapper as pl_mod
+    import jax.numpy as jnp
+    Bc, Lc = 64, 37
+    codes_c = rng.integers(0, 5, size=(Bc, Lc)).astype(np.int8)
+    quals_c = rng.integers(0, 64, size=(Bc, Lc)).astype(np.int16)
+    lens_c = rng.integers(Lc // 2, Lc + 1, size=Bc).astype(np.int32)
+    arL = np.arange(Lc)
+    pad = arL[None, :] >= lens_c[:, None]
+    codes_c[pad] = 4
+    quals_c[pad] = 0
+    table = pwm_mod.pwm_table()
+    want_pw = pwm_mod.pwm_rows_from_table(codes_c, quals_c)
+    want_pw = np.where(pad[:, :, None], 0, want_pw).astype(np.int32)
+    got_pw = np.asarray(pl_mod.device_pwm(
+        jnp_arr(codes_c), jnp_arr(quals_c), jnp_arr(lens_c),
+        jnp_arr(table)))
+    n_checked += 1
+    if not np.array_equal(got_pw, want_pw):
+        return False, n_checked, "device_pwm != host table lookup"
+    rc_c, rc_pw = pl_mod.revcomp_batch(jnp_arr(codes_c), jnp_arr(got_pw),
+                                       jnp_arr(lens_c))
+    rc_c, rc_pw = np.asarray(rc_c), np.asarray(rc_pw)
+    n_checked += 1
+    for b in range(Bc):
+        Lr = int(lens_c[b])
+        cc = codes_c[b, :Lr]
+        want_c = np.where(cc[::-1] < 4, 3 - cc[::-1], 4).astype(np.int8)
+        want_p = pwm_mod.pwm_revcomp(want_pw[b, :Lr])
+        if not (np.array_equal(rc_c[b, :Lr], want_c)
+                and np.array_equal(rc_pw[b, :Lr], want_p)
+                and not rc_pw[b, Lr:].any()):
+            return False, n_checked, f"revcomp_batch mismatch read {b}"
     return True, n_checked, "ok"
 
 

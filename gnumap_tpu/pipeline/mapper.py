@@ -95,24 +95,28 @@ def revcomp_batch(codes, pwm_q, lens):
     """Length-aware reverse complement so the rc read still occupies
     positions [0, len) with N/zero padding at the tail.
 
-    The positional reversal is a ONE-HOT f32 MATMUL, not a gather: TPU
+    The positional reversal is a ONE-HOT MATMUL, not a gather: TPU
     gathers serialize per element (~20 ms/batch for the (B, L) +
     (B, L, 4) take_along_axis pair at headline shapes — the r5 on-chip
     strand_ms profile), while the (B, L, L) one-hot contraction is dense
-    MXU work.  Exact: each output row has exactly one nonzero term and
-    every value (codes <= 4, PWM <= 4096) is f32-representable."""
+    MXU work.  EXACTNESS: TPU lowers f32 matmuls to bf16 passes (values
+    > 256 would round — caught on chip as a one-read mapped diff), so
+    PWM values split into two bf16-exact limbs (< 64) that recombine
+    after the contraction; each output has exactly one nonzero term, so
+    accumulation order is irrelevant."""
     B, L = codes.shape
     ar = jnp.arange(L, dtype=jnp.int32)
     src = jnp.clip(lens[:, None] - 1 - ar[None, :], 0, L - 1)
     in_read = ar[None, :] < lens[:, None]
-    oh = (src[:, :, None] == ar[None, None, :]).astype(jnp.float32)
+    oh = (src[:, :, None] == ar[None, None, :]).astype(jnp.bfloat16)
     payload = jnp.concatenate(
-        [codes.astype(jnp.float32)[:, :, None],
-         pwm_q.astype(jnp.float32)], axis=2)             # (B, L, 5)
+        [codes.astype(jnp.int32)[:, :, None],
+         pwm_q >> 6, pwm_q & 63], axis=2).astype(jnp.bfloat16)
     gathered = jnp.einsum("bij,bjk->bik", oh, payload,
-                          preferred_element_type=jnp.float32)
-    g = gathered[:, :, 0].astype(jnp.int32)
-    pw = gathered[:, :, 1:].astype(jnp.int32)
+                          preferred_element_type=jnp.float32
+                          ).astype(jnp.int32)
+    g = gathered[:, :, 0]
+    pw = (gathered[:, :, 1:5] << 6) + gathered[:, :, 5:9]
     rc_codes = jnp.where(in_read,
                          jnp.where(g < 4, 3 - g, 4), 4).astype(jnp.int8)
     rc_pwm = jnp.where(in_read[:, :, None], pw[:, :, ::-1], 0)
@@ -314,21 +318,25 @@ def device_pwm(codes, quals, lens, table):
     positions zeroed (the frozen pad-row rule).  Ships (codes, quals)
     instead of the (B, L, 4) int32 PWM over the host->device link.
 
-    The (qual, code) lookup is a ONE-HOT f32 MATMUL over the 128-entry
-    qual axis + a 5-way code select, not a gather (TPU element gathers
-    serialized this into ~half the r5 strand_ms profile).  Exact: one
-    nonzero term per output, values <= 4096 < 2^24."""
+    The (qual, code) lookup is a ONE-HOT MATMUL over the 128-entry qual
+    axis + a 5-way code select, not a gather (TPU element gathers
+    serialized this into ~half the r5 strand_ms profile).  Exact via
+    two bf16-exact limbs (< 64) recombined after the contraction — see
+    revcomp_batch for why plain f32 einsums are NOT exact on TPU."""
     Q = table.shape[0]
     q = jnp.clip(quals.astype(jnp.int32), 0, Q - 1)
     c = jnp.clip(codes.astype(jnp.int32), 0, 4)
     oh = (q[:, :, None] == jnp.arange(Q, dtype=jnp.int32)[None, None, :]
-          ).astype(jnp.float32)
-    tq = jnp.einsum("blq,qck->blck", oh, table.astype(jnp.float32),
-                    preferred_element_type=jnp.float32)
-    pw = tq[:, :, 4, :]
+          ).astype(jnp.bfloat16)
+    t2 = jnp.concatenate([table >> 6, table & 63],
+                         axis=2).astype(jnp.bfloat16)      # (Q, 5, 8)
+    tq = jnp.einsum("blq,qck->blck", oh, t2,
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
+    pw = (tq[..., :4] << 6) + tq[..., 4:]                  # (B, L, 5, 4)
+    sel = pw[:, :, 4, :]
     for v in range(4):
-        pw = jnp.where((c == v)[:, :, None], tq[:, :, v, :], pw)
-    pw = pw.astype(jnp.int32)
+        sel = jnp.where((c == v)[:, :, None], pw[:, :, v, :], sel)
+    pw = sel
     L = codes.shape[1]
     in_read = jnp.arange(L, dtype=jnp.int32)[None, :] < lens[:, None]
     return jnp.where(in_read[:, :, None], pw, 0)
