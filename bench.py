@@ -88,6 +88,17 @@ CONFIGS = {
             genome_len=4_641_652, n_reads=16_384, read_len=100, mer=12,
             jump=5, max_read_len=104, repeat_frac=0.0, bisulfite=False,
             sam_stream=True),
+    # Clustered-pileup accumulate A/B (VERDICT.md r4 missing #5: "make
+    # device accumulation win somewhere or close it"): the config-8
+    # repeat-family workload in SNP mode, where multi-mapped hits pile
+    # onto the same family loci, measured with BOTH accumulation paths.
+    # The recorded value is the host path (the default); the device
+    # number rides alongside so the decision is measured, not assumed.
+    10: dict(name="SNP clustered-pileup accumulate A/B (host vs device)",
+             genome_len=46_709_983, n_reads=16_384, read_len=100, mer=13,
+             jump=5, max_read_len=104, repeat_frac=0.0, bisulfite=False,
+             families=(40, 20, 300), repeat_read_frac=0.25,
+             max_hits=24, hit_capacity=8, snp=True, accum_ab=True),
 }
 
 
@@ -485,7 +496,8 @@ def jnp_arr(x):
     return jnp.asarray(x)
 
 
-def run_stream_snp(cfg, gen, idx, recs, align_impl, depth=3):
+def run_stream_snp(cfg, gen, idx, recs, align_impl, depth=3,
+                   acc_impl="host"):
     """SNP-mode measurement: the FULL map_stream (posterior -> coverage +
     per-base tally accumulation), not just submit/finish — tally cost is
     the thing being measured.
@@ -502,7 +514,6 @@ def run_stream_snp(cfg, gen, idx, recs, align_impl, depth=3):
     from gnumap_tpu.io import fastq as io_fastq
     from gnumap_tpu.pipeline import mapper as pl
 
-    acc_impl = "host"
     m = pl.TpuMapper(gen, idx, cfg, align_impl=align_impl,
                      accumulate=acc_impl)
     batches = list(io_fastq.batch_reads(iter(recs), cfg))
@@ -670,6 +681,14 @@ def bench_config(cfgnum, args, impl, with_baseline, repeats=1):
     elif CONFIGS[cfgnum].get("snp"):
         dt, stats, n_hits, acc = run_stream_snp(cfg, gen, idx, recs, impl,
                                                 depth=args.depth)
+        if CONFIGS[cfgnum].get("accum_ab") and impl == "pallas":
+            dt_d, stats_d, _, _ = run_stream_snp(cfg, gen, idx, recs,
+                                                 impl, depth=args.depth,
+                                                 acc_impl="device")
+            extra = {"reads_per_s_host_accum": round(
+                         stats.n_reads / dt, 1),
+                     "reads_per_s_device_accum": round(
+                         stats_d.n_reads / dt_d, 1)}
         # `accuracy` means TRUTH accuracy in every ladder entry (VERDICT.md
         # r3 weak #4); hits never reach the host on the device-accumulation
         # path, so run the hit-returning pipeline once more, untimed
@@ -790,11 +809,21 @@ def main():
         prof = profile_stages(cfg_h, gen_h, idx_h, recs_h, impl)
         sys.stderr.write(f"profile: {json.dumps(prof)}\n")
 
+    sustained = next((e["value"] for e in ladder
+                      if e["config"] == 9 and e["value"] > 0), None)
     print(json.dumps({
         "metric": f"reads aligned/sec/chip "
                   f"({CONFIGS[headline_cfg]['name']})",
         "value": head["value"],
         "unit": "reads/s",
+        # three first-class numbers (VERDICT.md r4 next-#8): wall-clock
+        # single-run reads/s (value, tunnel-sensitive), device-time
+        # throughput (stable across hosts), and the sustained outputs-on
+        # map_stream rate (config 9 — the honest end-to-end answer to
+        # BASELINE.json:2)
+        "reads_per_s_device_time": round(
+            head["reads"] / max(head["device_s"], 1e-9), 1),
+        "reads_per_s_sustained_outputs_on": sustained,
         "vs_baseline": head["vs_baseline"],
         "backend": backend, "align_impl": impl,
         "kernel_bitcheck": bit_ok,
