@@ -650,6 +650,11 @@ def profile_stages(cfg, gen, idx, recs, impl, iters=4):
     t_gather = run(gather_fn) if m.index_kind == "csr" else t_strand
     t_seed = run(seed_fn)
     t_dp = run(dp_fn)
+    os.environ["GNUMAP_TB_MODE"] = "retain"
+    t_retain = run(tb_fn)
+    os.environ["GNUMAP_TB_MODE"] = "pure"
+    t_pure = run(tb_fn)
+    os.environ["GNUMAP_TB_MODE"] = "full"
     t_tb = run(tb_fn)
     t_full = run(tb_fn, fetch_full=True)
     ms = lambda x: round(x * 1000.0, 1)
@@ -660,6 +665,9 @@ def profile_stages(cfg, gen, idx, recs, impl, iters=4):
             "seed_dedupe_ms": ms(t_seed - t_gather),
             "seed_ms": ms(t_seed - t_h2d),
             "dp_ms": ms(t_dp - t_seed),
+            "tb_retain_ms": ms(t_retain - t_dp),
+            "tb_pure_kernel_ms": ms(t_pure - t_retain),
+            "tb_backwalk_ms": ms(t_tb - t_pure),
             "traceback_ms": ms(t_tb - t_dp),
             "blob_fetch_ms": ms(t_full - t_tb)}
 

@@ -413,6 +413,35 @@ def device_hit_rows(cfg: MapperConfig, cands, valid, scores, max_sc,
         split = (band is not None and cfg.gap_open_q() > 0
                  and cfg.gap_extend_q() > 0
                  and os.environ.get("GNUMAP_TB_SPLIT", "1") != "0")
+        # GNUMAP_TB_MODE: timing-probe ladder for bench.profile_stages —
+        # "retain" skips both traceback kernels, "pure" runs only the
+        # pure-detect kernel.  NOT a correctness mode (ops/jfin are
+        # zeros); default "full" is the real path.
+        tb_mode = os.environ.get("GNUMAP_TB_MODE", "full")
+        if tb_mode == "retain":
+            Lp0 = ((cfg.max_read_len + 7) // 8) * 8
+            ops = jnp.zeros((H, Lp0), jnp.int16)
+            jfin = jnp.zeros((H,), jnp.int32)
+            n_valid = jnp.sum(valid.astype(jnp.int32))
+            return dict(valid_h=valid_h, hit_flat=hit_flat, row_h=row_h,
+                        cand_h=cand_h, score_h=score_h, len_h=len_h,
+                        ops=ops, jfin=jfin, n_keep=n_keep,
+                        n_valid=n_valid)
+        if tb_mode == "pure" and split:
+            pure, jf_pure = nw_pallas.nw_pure_banded(
+                emis_h, cand_h, len_h, score_h, g_words,
+                L=cfg.max_read_len, W=cfg.window_width(),
+                slack=cfg.gap_slack, boff=band[0], bw=band[1],
+                open_q=cfg.gap_open_q(), ext_q=cfg.gap_extend_q(),
+                interpret=interpret)
+            Lp0 = ((cfg.max_read_len + 7) // 8) * 8
+            ops = jnp.zeros((H, Lp0), jnp.int16)
+            jfin = jnp.where(pure, jf_pure, 0)
+            n_valid = jnp.sum(valid.astype(jnp.int32))
+            return dict(valid_h=valid_h, hit_flat=hit_flat, row_h=row_h,
+                        cand_h=cand_h, score_h=score_h, len_h=len_h,
+                        ops=ops, jfin=jfin, n_keep=n_keep,
+                        n_valid=n_valid)
         if split:
             # [FROZEN v6] traceback split: prove the all-M hits pure with
             # the cheap forward-only kernel (~1/11 of the scoring kernel's
@@ -575,11 +604,13 @@ def device_accumulate(cfg: MapperConfig, B: int, pwm2, rows: dict,
         read-modify-write kernel (deterministic hit order, exact under
         overlapping spans).
 
-    [FROZEN v5] semantics: f32 arithmetic in the kernel's serial hit
-    order (TPU has no f64); the host path keeps the exact hit-ordered
-    float64 contract and remains the golden reference — device
-    accumulation is validated against it to f32 tolerance and for
-    run-to-run determinism (tests/test_device_accum.py).  The f64
+    [FROZEN v5.2] semantics: f32 arithmetic in (128-block, hit slot)
+    order — same-block deltas pre-coalesce with a stable base-sorted
+    segmented scan, then the RMW kernel applies one delta per UNIQUE
+    block serially (TPU has no f64); the host path keeps the exact
+    hit-ordered float64 contract and remains the golden reference —
+    device accumulation is validated against it to f32 tolerance and
+    for run-to-run determinism (tests/test_device_accum.py).  The f64
     conversion happens at the fetch boundary (fetch_accumulators).
 
     cov is (Gpad//128, 128) f32 (position p at [p//128, p%128] — the
@@ -643,19 +674,44 @@ def device_accumulate(cfg: MapperConfig, B: int, pwm2, rows: dict,
         cs = jnp.cumsum(step, axis=1) - step
         gidx = pos_h[:, None] + cs
         ref_len = jnp.sum(step, axis=1)
-    n_real = jnp.minimum(rows["n_keep"], H)
+    with jax.named_scope("acc_coalesce_keys"):
+        # [FROZEN v5.2] same-block coalescing: the serial RMW kernel costs
+        # ~19 us/hit (2 DMA latencies), so hits whose spans share a
+        # 128-aligned base block pre-reduce into ONE delta via a stable
+        # base-sorted segmented scan — clustered pileups (the device
+        # path's niche: config 10's repeat families concentrate thousands
+        # of hits on a few hundred blocks) collapse to one DMA per unique
+        # block.  f32 add order becomes (block, hit slot) — deterministic;
+        # validated vs the exact f64 host path to f32 tolerance
+        # (tests/test_device_accum.py).
+        base_units = jnp.clip(pos_h >> 7, 0, (Gpad - span) >> 7)
+        BIGB = jnp.int32(1 << 30)
+        bkey = jnp.where(valid_h, base_units, BIGB)
+        skey, sperm = jax.lax.sort((bkey, iota), num_keys=2)
+        ends = jnp.concatenate([skey[1:] != skey[:-1],
+                                jnp.ones((1,), bool)]) & (skey != BIGB)
+        ku = jnp.cumsum(ends.astype(jnp.int32)) - 1
+        n_uniq = ku[-1] + 1
+        srcu = jnp.full((H,), 0, jnp.int32).at[
+            jnp.where(ends, ku, H)].set(iota, mode="drop")
+        base_u = jnp.where(iota < n_uniq, skey[srcu], 0)
+
+        def _coalesce(delta):
+            seg = skey.reshape((H,) + (1,) * (delta.ndim - 1))
+            cum = _segmented(jnp.add, delta[sperm], seg)
+            return cum[srcu]
+
     with jax.named_scope("acc_coverage"):
         # span starts floor-align to 128 positions (DMA tiling); the
         # residue s = pos - 128*units shifts the delta inside the window
-        base_units = jnp.clip(pos_h >> 7, 0, (Gpad - span) >> 7)
         base = base_units << 7
         s = pos_h - base
         kk = jnp.arange(span, dtype=jnp.int32)[None, :]
         cov_delta = jnp.where(
             (kk >= s[:, None]) & (kk < (s + ref_len)[:, None]),
             w[:, None], 0.0).reshape(-1, span // 128, 128)
-        cov = accum_pallas.apply_deltas(cov, base_units, cov_delta,
-                                        n_real, interpret=interpret)
+        cov = accum_pallas.apply_deltas(cov, base_u, _coalesce(cov_delta),
+                                        n_uniq, interpret=interpret)
     if snp:
         with jax.named_scope("acc_tallies"):
             val = pwm2[row_h].astype(jnp.float32) \
@@ -700,8 +756,9 @@ def device_accumulate(cfg: MapperConfig, B: int, pwm2, rows: dict,
                 cg_p.reshape(-1, CH, L), okg_p.reshape(-1, CH, L),
                 valg_p.reshape(-1, CH, L, 4))).reshape(Kp, span, 4)[:K]
             tal_delta = tal_delta.at[tgtg].set(delta_g, mode="drop")
-            tal = accum_pallas.apply_deltas(tal, base_units, tal_delta,
-                                            n_real, interpret=interpret)
+            tal = accum_pallas.apply_deltas(
+                tal, base_u, _coalesce(tal_delta), n_uniq,
+                interpret=interpret)
     return cov, tal, stats_vec
 
 
