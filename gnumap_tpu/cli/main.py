@@ -78,9 +78,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    default="host",
                    help="coverage/SNP-tally accumulation: 'host' = exact "
                         "hit-ordered float64 (default, the golden "
-                        "semantics); 'device' = [FROZEN v5] on-device f32 "
-                        "scatter-add, fetched only at checkpoints/end "
-                        "(fastest; single-device pallas path only)")
+                        "semantics; fastest for sparse-uniform hits); "
+                        "'device' = [FROZEN v5.2] on-device f32 "
+                        "block-coalesced accumulation, fetched only at "
+                        "checkpoints/end — for clustered pileups and "
+                        "host-free streaming (single-device pallas path "
+                        "only; capacity-overflow batches fall back to "
+                        "the exact host path automatically)")
     p.add_argument("--checkpoint", default=None,
                    help="stream-state checkpoint file; resumes if present")
     p.add_argument("--checkpoint-every", type=int, default=16,
