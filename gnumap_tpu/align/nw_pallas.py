@@ -52,6 +52,7 @@ SUBLANES = 64       # read-strands x candidate slots per grid tile
 RPT = 8             # default read-strands per tile (tunable; x TPC = 64)
 SENTINEL = 2 ** 31 - 1
 BASES_PER_WORD = 8  # 4-bit packing
+ROWGATHER_MAX = 1 << 26   # see pipeline.mapper.ROWGATHER_MAX
 
 
 def _round_up(x: int, m: int) -> int:
@@ -228,23 +229,33 @@ def _gather_windows(cands, valid, genome_words, W, Wroll, slack):
     4-bit-packed genome (TPU gather cost scales with row count), then
     selects the o = word-offset%8 phase with an 8-way one-hot over static
     shifted slices, and nibble-unpacks.  Sentinel slots poison to code 5.
+
+    HUGE genomes (> 2^26 words, i.e. > ~0.5 Gbp per segment) take a plain
+    element gather instead: TPU tiles an (n, 8) int32 image as (8, 128),
+    a 16x HBM blowup (same hazard as pipeline.mapper.csr_hits).
     """
     nw = Wroll // BASES_PER_WORD
-    nfetch = -(-(7 + nw) // 8)                   # rows covering o + nw words
-    words2d = genome_words[: (genome_words.shape[0] // 8) * 8].reshape(-1, 8)
-    nrows = words2d.shape[0]
     wsw = (window_start(jnp.where(valid, cands, 0), slack) + W) \
         // BASES_PER_WORD
-    r0 = wsw // 8
-    o = wsw % 8
-    rows3 = words2d[jnp.clip(
-        r0[:, :, None] + jnp.arange(nfetch, dtype=jnp.int32),
-        0, nrows - 1)]                            # (B2p, C, nfetch, 8)
-    flat = rows3.reshape(*cands.shape, nfetch * 8)
-    win_words = flat[..., 0:nw]
-    for k in range(1, 8):
-        win_words = jnp.where((o == k)[:, :, None], flat[..., k:k + nw],
-                              win_words)
+    if genome_words.shape[0] > ROWGATHER_MAX:
+        widx = wsw[:, :, None] + jnp.arange(nw, dtype=jnp.int32)
+        win_words = genome_words[jnp.clip(widx, 0,
+                                          genome_words.shape[0] - 1)]
+    else:
+        nfetch = -(-(7 + nw) // 8)               # rows covering o+nw words
+        words2d = genome_words[
+            : (genome_words.shape[0] // 8) * 8].reshape(-1, 8)
+        nrows = words2d.shape[0]
+        r0 = wsw // 8
+        o = wsw % 8
+        rows3 = words2d[jnp.clip(
+            r0[:, :, None] + jnp.arange(nfetch, dtype=jnp.int32),
+            0, nrows - 1)]                        # (B2p, C, nfetch, 8)
+        flat = rows3.reshape(*cands.shape, nfetch * 8)
+        win_words = flat[..., 0:nw]
+        for k in range(1, 8):
+            win_words = jnp.where((o == k)[:, :, None],
+                                  flat[..., k:k + nw], win_words)
     rep = jnp.repeat(win_words, BASES_PER_WORD, axis=2)   # (B2p, C, Wroll)
     sub = (jnp.arange(Wroll, dtype=jnp.int32) % BASES_PER_WORD) * 4
     win8 = ((rep >> sub) & 0xF).astype(jnp.int8)

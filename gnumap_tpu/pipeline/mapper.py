@@ -44,6 +44,9 @@ from gnumap_tpu.io.fastq import ReadBatch
 from gnumap_tpu.oracle import oracle
 
 SENTINEL = np.iinfo(np.int32).max
+# row-gather images (n, 8) tile-pad 8->128 lanes on TPU (16x HBM); arrays
+# beyond this take element gathers (tests monkeypatch this to cover both)
+ROWGATHER_MAX = 1 << 26
 
 
 @dataclasses.dataclass
@@ -164,7 +167,17 @@ def csr_hits(km, bad, bucket_start, positions, offsets, cfg):
     # 8-wide rows of `positions` and resolving the start%8 phase with an
     # 8-way one-hot select is ~5x cheaper than caph independent element
     # gathers per seed (measured on chip at config-2 shapes).
+    #
+    # HUGE genomes (> 2^26 positions) take the element gather instead:
+    # TPU tiles an (nr, 8) int32 image as (8, 128) — a 16x HBM blowup
+    # that OOM'd the compile at 83 GB for a 1.3 Gbp segment.
     npos = positions.shape[0]
+    if npos > ROWGATHER_MAX:
+        ar8 = jnp.arange(caph, dtype=jnp.int32)
+        pos = positions[jnp.clip(start[:, :, None] + ar8[None, None, :],
+                                 0, npos - 1)]
+        cand = pos - offsets[None, :, None]
+        return jnp.where(hit_ok, cand, SENTINEL)
     nr = max(-(-npos // 8), 1)
     pos2d = jnp.zeros((nr * 8,), positions.dtype).at[:npos].set(
         positions).reshape(nr, 8)

@@ -113,3 +113,39 @@ def test_map_stream_outputs(setup, small_cfg, phix_reads, tmp_path):
     assert lines and all(l.split("\t")[0] == "phiX_sim" for l in lines)
     tot = sum(float(l.split("\t")[2]) for l in lines)
     assert abs(tot - res.coverage.sum()) < 1.0  # rounding at 4 decimals
+
+
+def test_element_gather_fallback_matches_rowgather(monkeypatch):
+    """Huge-genome element-gather paths (csr_hits positions and the banded
+    window fetch) must produce identical results to the row-gather fast
+    path (the (n, 8) image tile-pads 16x on TPU and OOMs at Gbp scale)."""
+    import numpy as np
+    from gnumap_tpu.align import nw_pallas
+    from gnumap_tpu.pipeline import mapper as pl
+
+    from conftest import records_from_sim
+    from gnumap_tpu.config import MapperConfig
+    from gnumap_tpu.index import builder
+    from gnumap_tpu.io import fastq as io_fastq
+    from gnumap_tpu.utils import sim
+    cfg = MapperConfig(mer_size=8, seed_jump=4, batch_size=64,
+                       max_read_len=40, align_score_ratio=0.8)
+    genome = sim.random_genome(20_000, seed=13, repeat_frac=0.05)
+    gen = builder.Genome.from_contigs([("t", genome)])
+    idx = builder.build_index(gen, cfg)
+    reads = sim.simulate_reads(genome, 64, 36, seed=14, sub_rate=0.02,
+                               indel_rate=0.1, contig="t")
+    recs = records_from_sim(reads, cfg)
+    batches = list(io_fastq.batch_reads(iter(recs), cfg))
+    m = pl.TpuMapper(gen, idx, cfg, align_impl="pallas",
+                     finish_impl="device")
+    ref = m.map_batch(batches[0])
+    monkeypatch.setattr(pl, "ROWGATHER_MAX", 0)
+    monkeypatch.setattr(nw_pallas, "ROWGATHER_MAX", 0)
+    m2 = pl.TpuMapper(gen, idx, cfg, align_impl="pallas",
+                      finish_impl="device")
+    got = m2.map_batch(batches[0])
+    assert len(ref) == len(got)
+    for a, b in zip(ref, got):
+        assert [(h.strand, h.pos, h.score, h.cigar, h.weight)
+                for h in a] ==                [(h.strand, h.pos, h.score, h.cigar, h.weight) for h in b]
