@@ -811,11 +811,16 @@ def main():
     prof = None
     if impl == "pallas" and not CONFIGS[headline_cfg].get("segments"):
         # per-stage device breakdown for the headline config (r3 next-#3)
-        cfg_h, gen_h, idx_h, recs_h = build_workload(
-            args.reads, args.genome_len, args.batch_size,
-            config=headline_cfg)
-        prof = profile_stages(cfg_h, gen_h, idx_h, recs_h, impl)
-        sys.stderr.write(f"profile: {json.dumps(prof)}\n")
+        try:
+            cfg_h, gen_h, idx_h, recs_h = build_workload(
+                args.reads, args.genome_len, args.batch_size,
+                config=headline_cfg)
+            prof = profile_stages(cfg_h, gen_h, idx_h, recs_h, impl)
+            sys.stderr.write(f"profile: {json.dumps(prof)}\n")
+        except Exception as e:       # the profile is diagnostics; never
+            import traceback         # lose the headline JSON line to it
+            traceback.print_exc()
+            prof = {"error": f"{type(e).__name__}: {e}"[:200]}
 
     sustained = next((e["value"] for e in ladder
                       if e["config"] == 9 and e["value"] > 0), None)
