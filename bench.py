@@ -690,13 +690,18 @@ def bench_config(cfgnum, args, impl, with_baseline, repeats=1):
         dt, stats, n_hits, acc = run_stream_snp(cfg, gen, idx, recs, impl,
                                                 depth=args.depth)
         if CONFIGS[cfgnum].get("accum_ab") and impl == "pallas":
-            dt_d, stats_d, _, _ = run_stream_snp(cfg, gen, idx, recs,
-                                                 impl, depth=args.depth,
-                                                 acc_impl="device")
             extra = {"reads_per_s_host_accum": round(
-                         stats.n_reads / dt, 1),
-                     "reads_per_s_device_accum": round(
-                         stats_d.n_reads / dt_d, 1)}
+                         stats.n_reads / dt, 1)}
+            try:
+                dt_d, stats_d, _, _ = run_stream_snp(
+                    cfg, gen, idx, recs, impl, depth=args.depth,
+                    acc_impl="device")
+                extra["reads_per_s_device_accum"] = round(
+                    stats_d.n_reads / dt_d, 1)
+            except Exception as e:    # the A/B leg must not lose the
+                import traceback      # host-path ladder entry
+                traceback.print_exc()
+                extra["device_accum_error"] = f"{type(e).__name__}: "                     f"{e}"[:200]
         # `accuracy` means TRUTH accuracy in every ladder entry (VERDICT.md
         # r3 weak #4); hits never reach the host on the device-accumulation
         # path, so run the hit-returning pipeline once more, untimed

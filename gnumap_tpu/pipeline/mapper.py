@@ -627,9 +627,10 @@ def device_accumulate(cfg: MapperConfig, B: int, pwm2, rows: dict,
     conversion happens at the fetch boundary (fetch_accumulators).
 
     cov is (Gpad//128, 128) f32 (position p at [p//128, p%128] — the
-    DMA-friendly row layout) and tal (Gpad, 4) f32, Gpad = G padded by
-    2 spans and rounded to 128 (the pad absorbs clipped out-of-range
-    spans; fetch slices [:G]).
+    DMA-friendly row layout) and tal (Gpad*4//128, 128) f32 (lane
+    interleave 4p+b; narrow-lane (G, 4) memrefs crash Mosaic), Gpad = G
+    padded by 2 spans and rounded to 128 (the pad absorbs clipped
+    out-of-range spans; fetch slices [:G]).
 
     Returns (cov', tal', stats_vec) with stats_vec int32[4] =
     [n_mapped, n_multi, n_valid_candidates, n_keep].
@@ -724,7 +725,8 @@ def device_accumulate(cfg: MapperConfig, B: int, pwm2, rows: dict,
             (kk >= s[:, None]) & (kk < (s + ref_len)[:, None]),
             w[:, None], 0.0).reshape(-1, span // 128, 128)
         cov = accum_pallas.apply_deltas(cov, base_u, _coalesce(cov_delta),
-                                        n_uniq, interpret=interpret)
+                                        n_uniq, rowmul=1,
+                                        interpret=interpret)
     if snp:
         with jax.named_scope("acc_tallies"):
             val = pwm2[row_h].astype(jnp.float32) \
@@ -769,8 +771,10 @@ def device_accumulate(cfg: MapperConfig, B: int, pwm2, rows: dict,
                 cg_p.reshape(-1, CH, L), okg_p.reshape(-1, CH, L),
                 valg_p.reshape(-1, CH, L, 4))).reshape(Kp, span, 4)[:K]
             tal_delta = tal_delta.at[tgtg].set(delta_g, mode="drop")
+            # row-major (span, 4) flattens to the 4p+b lane interleave
+            tal_delta = tal_delta.reshape(H, span // 32, 128)
             tal = accum_pallas.apply_deltas(
-                tal, base_u, _coalesce(tal_delta), n_uniq,
+                tal, base_u, _coalesce(tal_delta), n_uniq, rowmul=4,
                 interpret=interpret)
     return cov, tal, stats_vec
 
@@ -1175,17 +1179,21 @@ class TpuMapper:
         G = len(self.genome.codes)
         Gpad = acc_padded_len(self.cfg, G)
         self._cov_dev = jnp.zeros((Gpad // 128, 128), jnp.float32)
-        self._tal_dev = (jnp.zeros((Gpad, 4), jnp.float32)
+        # tallies are lane-interleaved: (pos p, base b) -> flat 4p+b ->
+        # [(4p+b)//128, (4p+b)%128]; narrow-lane (G, 4) memrefs crash the
+        # Mosaic compiler (accum_pallas.apply_deltas docstring)
+        self._tal_dev = (jnp.zeros((Gpad * 4 // 128, 128), jnp.float32)
                          if self.cfg.snp_mode
-                         else jnp.zeros((acc_span(self.cfg), 4),
-                                        jnp.float32))
+                         else jnp.zeros((acc_span(self.cfg) * 4 // 128,
+                                         128), jnp.float32))
 
     def fetch_accumulators(self):
         """Device f32 accumulators -> host float64 (the [FROZEN v5] fetch
         boundary).  Returns (coverage, tallies-or-None)."""
         G = len(self.genome.codes)
         cov = np.asarray(self._cov_dev).reshape(-1)[:G].astype(np.float64)
-        tal = (np.asarray(self._tal_dev)[:G].astype(np.float64)
+        tal = (np.asarray(self._tal_dev).reshape(-1, 4)[:G].astype(
+                   np.float64)
                if self.cfg.snp_mode else None)
         return cov, tal
 
@@ -1199,7 +1207,7 @@ class TpuMapper:
         if tal is not None and self.cfg.snp_mode:
             t = np.zeros((Gpad, 4), np.float32)
             t[:G] = np.asarray(tal)[:G]
-            self._tal_dev = jnp.asarray(t)
+            self._tal_dev = jnp.asarray(t.reshape(-1, 128))
 
     def _device_map_acc(self, codes, pwm_q, lens, *big):
         """Accumulate-path program 1: the full map + tb pipeline, emitting

@@ -76,17 +76,20 @@ def _rmw_kernel(base_ref, nreal_ref, delta_ref, arr_ref, out_ref,
     jax.lax.fori_loop(0, ch, body, 0)
 
 
-def apply_deltas(arr, base_units, deltas, n_real, *, ch: int = 256,
-                 interpret: bool = False):
+def apply_deltas(arr, base_units, deltas, n_real, *, rowmul: int = 1,
+                 ch: int = 256, interpret: bool = False):
     """arr rows [u(h), u(h)+nrows) += deltas[h] for h in [0, n_real),
-    where u(h) = base_units[h] * rowmul and rowmul is inferred from the
-    layouts:
+    where u(h) = base_units[h] * rowmul.  Both accumulator layouts keep
+    the LANE dimension at 128 (Mosaic's compiler crashes on narrow-lane
+    memrefs like (G, 4) — probed on v5e):
 
-      coverage: arr (R, 128) — position p lives at [p//128, p%128];
-                deltas (H, span//128, 128); rowmul = 1 (one 128-wide row
-                per 128 positions).
-      tallies:  arr (G, width<128) — deltas (H, span, width);
-                rowmul = 128 (128 rows per position unit).
+      coverage: arr (Gpad//128, 128) — position p at [p//128, p%128];
+                deltas (H, span//128, 128); rowmul = 1.
+      tallies:  arr (Gpad*4//128, 128) — (position p, base b) at flat
+                index 4p+b, i.e. [(4p+b)//128, (4p+b)%128]; a
+                128-position span is exactly 4 rows per unit;
+                deltas (H, span//32, 128) (the row-major (span, 4)
+                reshape); rowmul = 4.
 
     base_units are 128-position span starts (callers fold the pos%128
     residue into the delta layout), any order (serial, exact).  Hits
@@ -97,21 +100,21 @@ def apply_deltas(arr, base_units, deltas, n_real, *, ch: int = 256,
         arr = _apply_deltas_seg(
             arr, base_units[lo:lo + SEG], deltas[lo:lo + SEG],
             jnp.maximum(jnp.asarray(n_real, jnp.int32) - lo, 0),
-            ch=ch, interpret=interpret)
+            rowmul=rowmul, ch=ch, interpret=interpret)
     return arr
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("ch", "interpret"))
+                   static_argnames=("rowmul", "ch", "interpret"))
 def _apply_deltas_seg(arr: jax.Array, base_units: jax.Array,
                       deltas: jax.Array, n_real: jax.Array, *,
-                      ch: int = 256, interpret: bool = False) -> jax.Array:
+                      rowmul: int = 1, ch: int = 256,
+                      interpret: bool = False) -> jax.Array:
     H = base_units.shape[0]
     base = base_units
     assert deltas.ndim == 3 and arr.ndim == 2
     nrows, W = deltas.shape[1], deltas.shape[2]
-    assert arr.shape[1] == W
-    rowmul = 1 if W == 128 else 128
+    assert arr.shape[1] == W == 128
     Hp = ((H + ch - 1) // ch) * ch
     if Hp != H:
         base = jnp.pad(base, (0, Hp - H))
