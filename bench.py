@@ -858,10 +858,16 @@ def main():
         "profile": prof,
         "ladder": [{k: e[k] for k in
                     ("config", "name", "value", "accuracy", "mapped",
-                     "multi_mapped", "dp_cells_per_s_device", "wall_s")}
+                     "multi_mapped", "dp_cells_per_s_device", "wall_s",
+                     "reads_per_s_host_accum", "reads_per_s_device_accum",
+                     "device_accum_error") if k in e}
                    for e in ladder],
         "baseline_provenance": "host-CPU jnp pipeline (C++ reference "
                                "unavailable: empty mount)",
+        **{k: head[k] for k in ("sam_bytes", "sam_sort_s",
+                                "reads_per_s_host_accum",
+                                "reads_per_s_device_accum",
+                                "device_accum_error") if k in head},
     }))
 
 
