@@ -81,10 +81,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "semantics; fastest for sparse-uniform hits); "
                         "'device' = [FROZEN v5.2] on-device f32 "
                         "block-coalesced accumulation, fetched only at "
-                        "checkpoints/end — for clustered pileups and "
-                        "host-free streaming (single-device pallas path "
+                        "checkpoints/end.  Scope (frozen r5 decision): "
+                        "host-free streaming only — keeps the host idle "
+                        "per batch but measured 13.1k vs 0.4k reads/s "
+                        "AGAINST the host path even on clustered "
+                        "pileups (bench config 10); use the default "
+                        "for throughput.  Single-device pallas path "
                         "only; capacity-overflow batches fall back to "
-                        "the exact host path automatically)")
+                        "the exact host path automatically")
     p.add_argument("--checkpoint", default=None,
                    help="stream-state checkpoint file; resumes if present")
     p.add_argument("--checkpoint-every", type=int, default=16,
