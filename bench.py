@@ -650,11 +650,13 @@ def profile_stages(cfg, gen, idx, recs, impl, iters=4):
     t_gather = run(gather_fn) if m.index_kind == "csr" else t_strand
     t_seed = run(seed_fn)
     t_dp = run(dp_fn)
-    os.environ["GNUMAP_TB_MODE"] = "retain"
-    t_retain = run(tb_fn)
-    os.environ["GNUMAP_TB_MODE"] = "pure"
-    t_pure = run(tb_fn)
-    os.environ["GNUMAP_TB_MODE"] = "full"
+    try:
+        os.environ["GNUMAP_TB_MODE"] = "retain"
+        t_retain = run(tb_fn)
+        os.environ["GNUMAP_TB_MODE"] = "pure"
+        t_pure = run(tb_fn)
+    finally:
+        os.environ["GNUMAP_TB_MODE"] = "full"
     t_tb = run(tb_fn)
     t_full = run(tb_fn, fetch_full=True)
     ms = lambda x: round(x * 1000.0, 1)
