@@ -703,7 +703,8 @@ def bench_config(cfgnum, args, impl, with_baseline, repeats=1):
             except Exception as e:    # the A/B leg must not lose the
                 import traceback      # host-path ladder entry
                 traceback.print_exc()
-                extra["device_accum_error"] = f"{type(e).__name__}: "                     f"{e}"[:200]
+                extra["device_accum_error"] = (
+                    f"{type(e).__name__}: {e}")[:200]
         # `accuracy` means TRUTH accuracy in every ladder entry (VERDICT.md
         # r3 weak #4); hits never reach the host on the device-accumulation
         # path, so run the hit-returning pipeline once more, untimed

@@ -368,8 +368,10 @@ def _nw_band_kernel(meta_ref, rows_ref, win_ref, out_ref,
             return m0_new, ix0_new
 
         if unroll == 2:
-            # two DP rows per fori iteration: halves the loop's fixed
-            # costs (dynamic slab indexing, bookkeeping, carry shuffle);
+            # two DP rows per fori iteration (peel does not apply here:
+            # every row keeps the full edge logic): halves the loop's
+            # fixed costs (dynamic slab indexing, bookkeeping, carry
+            # shuffle);
             # row 2k+1 beyond maxlen is a frozen-free pad row (opn = ext
             # = endf = 0), so running it never changes the captured
             # scores, and Lp is even so the slab read stays in range

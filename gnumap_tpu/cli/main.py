@@ -336,15 +336,24 @@ def main(argv=None) -> int:
                     row = tuple(json.loads(line))
                     if row[0] < st.batches_done:
                         _gp_rows.append(row)
+        if args.checkpoint:
+            # truncate to the kept rows once; per-batch writes APPEND
+            # (rewriting the whole per-record index each batch is
+            # O(records x batches) at 10M-read scale)
+            multihost.write_shard_index(idx_path, _gp_rows)
 
         def _gp_cb(idx, s):
             gp = getattr(m, "gp_sam", None)
-            if gp is not None:
-                for rd, key in gp["records"]:
-                    _gp_rows.append((idx - 1, rd, key))
-            if args.checkpoint:
+            new_rows = [(idx - 1, rd, key)
+                        for rd, key in (gp["records"] if gp else [])]
+            _gp_rows.extend(new_rows)
+            if args.checkpoint and new_rows:
                 sam_f.flush()
-                multihost.write_shard_index(idx_path, _gp_rows)
+                with open(idx_path, "a") as f:
+                    for row in new_rows:
+                        f.write(json.dumps(row) + "\n")
+                    f.flush()
+                    os.fsync(f.fileno())
         callbacks.append(_gp_cb)
     elif multi and sam_bin is not None:
         _prev = [0]

@@ -252,6 +252,7 @@ class GlobalSegmentedMapper:
             # made global.  Keys are exact in f64 (2*pos + strand << 2^53).
             from gnumap_tpu.dist import multihost
             BIGK = float(1 << 62)
+            sam = self.cfg.sam_out
             loc = np.zeros((2, batch.n), np.float64)
             mk = np.full(batch.n, BIGK, np.float64)
             for base, seg_hits in zip(self.bases, per):
@@ -259,17 +260,21 @@ class GlobalSegmentedMapper:
                     for h in hits:
                         loc[0, b] += h.score
                         loc[1, b] += 1.0
-                        key = float(2 * (base + h.pos)
-                                    + (h.strand == "-"))
-                        if key < mk[b]:
-                            mk[b] = key
+                        if sam:
+                            key = float(2 * (base + h.pos)
+                                        + (h.strand == "-"))
+                            if key < mk[b]:
+                                mk[b] = key
             red = multihost.allreduce_f64(loc)
-            minkey = multihost.allreduce_f64(mk, op="min")
+            # the min-key reduce decides SAM primary flags; skip it (and
+            # the per-hit record assembly below) on coverage-only runs
+            minkey = (multihost.allreduce_f64(mk, op="min") if sam
+                      else None)
             totals = red[0]
             g_mapped = int((red[1] >= 1.0).sum())
             g_multi = int((red[1] >= 2.0).sum())
         out = self._merge_global(per, totals=totals, n=batch.n)
-        if self.num_hosts > 1:
+        if self.num_hosts > 1 and self.cfg.sam_out:
             # explicit primacy + the per-batch SAM metadata map_stream and
             # the CLI's genome-partitioned record merge consume (gp_sam is
             # re-set every batch; records are (read, key) in this host's

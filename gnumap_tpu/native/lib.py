@@ -336,9 +336,14 @@ def format_sam_batch(codes, quals, lens, names, rnames,
     unmapped = np.ascontiguousarray(unmapped, np.uint8)
     skip_arr = (np.ascontiguousarray(skip, np.uint8)
                 if skip is not None else None)
-    cap = (int(name_off[-1]) + len(cigar_b) + Nh * (int(rname_off[-1]) //
-           max(1, len(rnames)) + 2 * Lmax + 128)
-           + B * (2 * Lmax + 64) + 1024)
+    # capacity: every HIT repeats its read's qname and may use the
+    # longest contig name (multi-mapped reads with long headers overflowed
+    # the old per-read estimate)
+    name_lens = np.diff(name_off)
+    max_rn = int(np.diff(rname_off).max()) if len(rnames) else 0
+    cap = ((int(name_lens[hit_read].sum()) if Nh else 0)
+           + Nh * (max_rn + 2 * Lmax + 128) + len(cigar_b)
+           + int(name_off[-1]) + B * (2 * Lmax + 64) + 1024)
     out = ctypes.create_string_buffer(cap)
     n = lib.format_sam_batch(
         codes.ctypes.data, quals.ctypes.data, lens.ctypes.data, B, Lmax,

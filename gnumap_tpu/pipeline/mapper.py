@@ -194,7 +194,7 @@ def csr_hits(km, bad, bucket_start, positions, offsets, cfg):
     return jnp.where(hit_ok, cand, SENTINEL)
 
 
-def dedupe_cap(cand, C, impl: str = "matrix"):
+def dedupe_cap(cand, C, impl: str = "sort"):
     """Dedupe-cap per read: (B2, S*caph) -> (B2, C) ascending with
     SENTINEL padding (replaces the reference's per-read hash set).
 
@@ -209,13 +209,13 @@ def dedupe_cap(cand, C, impl: str = "matrix"):
     unchanged.  Output stays ascending-by-position [FROZEN].  Mirrors
     oracle.candidates_for.
 
-    impl='matrix' (default): NO sorts — votes, the frozen (votes desc,
+    impl='matrix': NO sorts — votes, the frozen (votes desc,
     pos asc) rank, and the ascending output order are all O(N^2)-per-read
     comparison REDUCTIONS (N = seeds x caph ~ 152), pure elementwise VPU
     work that XLA fuses, where TPU's bitonic sorts cost tens of ms at
-    (32k, 152) shapes (r5 on-chip profile: the sort-based seed stage was
-    74 ms/batch).  impl='sort': the r4 two-sort formulation (A/B
-    reference, bit-identical)."""
+    (32k, 152) shapes.  impl='sort' (default): the r4 two-sort
+    formulation — measured FASTER on chip (42.7 vs 53.3 ms seed stage;
+    the sorts were never the bottleneck), bit-identical to matrix."""
     flat = cand.reshape(cand.shape[0], -1)
     B2, N = flat.shape
     if impl == "matrix":
@@ -1652,6 +1652,14 @@ def map_stream(mapper: TpuMapper, batches: Iterable[ReadBatch],
             if tallies is not None and tally_rows:
                 _scatter_tallies(tallies, batch, tally_rows)
             batch_idx += 1
+            # callbacks run BEFORE the checkpoint: callback-written
+            # artifacts (the CLI's SAM span / per-record indexes)
+            # must be on disk before a checkpoint state that
+            # references this batch can become visible (a crash
+            # between the two would otherwise leave an index shorter
+            # than batches_done)
+            if batch_callback is not None:
+                batch_callback(batch_idx, stats)
             if checkpoint_path and batch_idx % checkpoint_every == 0:
                 # async checkpointing (VERDICT.md r4 weak #5: the synchronous
                 # fetch + compress + write cost 27.5% at 1M-read scale): the
@@ -1677,8 +1685,6 @@ def map_stream(mapper: TpuMapper, batches: Iterable[ReadBatch],
                     batch_idx, cov_ck, tal_ck, dataclasses.replace(stats), off)
                 _ck_fut[0] = _ck_pool().submit(
                     ckpt_mod.save, checkpoint_path, st_ck)
-            if batch_callback is not None:
-                batch_callback(batch_idx, stats)
     finally:
         # join any in-flight checkpoint write so callers (and
         # the kill/restart tests) see a complete on-disk state

@@ -78,10 +78,13 @@ def main():
 
     n_cells = B2 * n_real * L * W          # nominal (LxW per candidate)
 
-    variants = [(int(u), bool(int(p)), int(r))
-                for u in args.unrolls.split(",")
-                for p in args.peels.split(",")
-                for r in args.rpts.split(",")]
+    # the unroll==2 kernel branch has no peel variant: normalize so the
+    # A/B never reports two identical kernels as different rows
+    variants = list(dict.fromkeys(
+        (int(u), bool(int(p)) if int(u) == 1 else True, int(r))
+        for u in args.unrolls.split(",")
+        for p in args.peels.split(",")
+        for r in args.rpts.split(",")))
     for unroll, peel, rpt in variants:
         @jax.jit
         def probe():
