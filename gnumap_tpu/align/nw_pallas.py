@@ -266,7 +266,8 @@ def _nw_band_kernel(meta_ref, rows_ref, win_ref, out_ref,
                     m_ref, ix_ref, iy_ref, cap_ref, *,
                     L: int, W: int, Wroll: int, boff: int, bw: int,
                     n_seg: int, open_q: int, ext_q: int, S: int,
-                    unroll: int = 1, peel: bool = True):
+                    unroll: int = 1, peel: bool = True,
+                    state_carry: bool = False):
     """One tile: S reads x n_seg candidate slots, bw-lane band per slot.
 
     meta_ref: SMEM (1, 1, 1, 2) int32    [skip, max_len_of_read_group]
@@ -318,9 +319,9 @@ def _nw_band_kernel(meta_ref, rows_ref, win_ref, out_ref,
                        (s * bw + boff) % Wroll, 1)
             for s in range(n_seg))
 
-        def one_row(k, m0, ix0, wrs, edge=True):
-            """DP row k+1; wrs views are pre-rolled for this row.
-            Returns (m0', ix0') — state refs updated in place.
+        def one_row_c(k, m0, ix0, M, Ix, Iy, cap, wrs, edge=True):
+            """DP row k+1 on VALUE state; wrs views are pre-rolled for
+            this row.  Returns (m0', ix0', M', Ix', Iy', cap').
 
             ``edge=False`` (loop peel): rows boff+2 .. W+boff-bw+1 can
             touch neither window boundary (col < 1 needs i <= boff at
@@ -342,7 +343,6 @@ def _nw_band_kernel(meta_ref, rows_ref, win_ref, out_ref,
             e = jnp.full((S, 128), DEEP, jnp.int32)
             for v in range(5):
                 e = jnp.where(win == v, slab[:, v:v + 1], e)
-            M, Ix, Iy = m_ref[:, :], ix_ref[:, :], iy_ref[:, :]
             diag = jnp.maximum(jnp.maximum(M, Ix), Iy)
             if edge:
                 diag = jnp.where(col == 1, jnp.maximum(m0, ix0), diag)
@@ -357,15 +357,23 @@ def _nw_band_kernel(meta_ref, rows_ref, win_ref, out_ref,
             Iy_new = jnp.maximum(
                 jnp.where(ge1, pltpu.roll(pm, 1, 1), NEG_INF) - ramp2,
                 NEG_INF)
-            m_ref[:, :] = M_new
-            ix_ref[:, :] = Ix_new
-            iy_ref[:, :] = Iy_new
             ix0_new = jnp.maximum(
                 jnp.maximum(m0 - opn, ix0 - ext), NEG_INF)
             fin = jnp.maximum(jnp.maximum(M_new, Ix_new), ix0_new)
-            cap_ref[:, :] = jnp.where(endf, fin, cap_ref[:, :])
+            cap_new = jnp.where(endf, fin, cap)
             m0_new = jnp.full((S, 1), NEG_INF, jnp.int32)
-            return m0_new, ix0_new
+            return m0_new, ix0_new, M_new, Ix_new, Iy_new, cap_new
+
+        def one_row(k, m0, ix0, wrs, edge=True):
+            """Ref-state wrapper around one_row_c (scratch VMEM mode)."""
+            m0n, ix0n, M_new, Ix_new, Iy_new, cap_new = one_row_c(
+                k, m0, ix0, m_ref[:, :], ix_ref[:, :], iy_ref[:, :],
+                cap_ref[:, :], wrs, edge)
+            m_ref[:, :] = M_new
+            ix_ref[:, :] = Ix_new
+            iy_ref[:, :] = Iy_new
+            cap_ref[:, :] = cap_new
+            return m0n, ix0n
 
         if unroll == 2:
             # two DP rows per fori iteration (peel does not apply here:
@@ -388,6 +396,42 @@ def _nw_band_kernel(meta_ref, rows_ref, win_ref, out_ref,
                 0, (maxlen + 1) // 2, row2,
                 wrs + (jnp.zeros((S, 1), jnp.int32),
                        jnp.full((S, 1), NEG_INF, jnp.int32)))
+        elif state_carry:
+            # DP state rides the fori carry as VALUES instead of VMEM
+            # scratch refs: the ref form moves ~6 x 64 KB of scratch
+            # traffic per row; carrying values lets Mosaic register-
+            # allocate / software-pipeline the state (A/B measured via
+            # kernel_bench --carries; bit-identical either way)
+            def row_edge_c(k, carry):
+                wrs_c = carry[:n_seg]
+                st = one_row_c(k, *carry[n_seg:], wrs_c, edge=True)
+                return tuple(pltpu.roll(w, Wroll - 1, 1)
+                             for w in wrs_c) + st
+
+            def row_body_c(k, carry):
+                wrs_c = carry[:n_seg]
+                st = one_row_c(k, *carry[n_seg:], wrs_c, edge=False)
+                return tuple(pltpu.roll(w, Wroll - 1, 1)
+                             for w in wrs_c) + st
+
+            carry = wrs + (
+                jnp.zeros((S, 1), jnp.int32),
+                jnp.full((S, 1), NEG_INF, jnp.int32),
+                jnp.where((col_base >= 0) & (col_base <= W),
+                          jnp.int32(0), jnp.int32(NEG_INF)),
+                jnp.full((S, 128), NEG_INF, jnp.int32),
+                jnp.full((S, 128), NEG_INF, jnp.int32),
+                jnp.full((S, 128), NEG_INF, jnp.int32))
+            if peel:
+                b1 = jnp.minimum(maxlen, boff + 1)
+                b2 = jnp.maximum(b1, jnp.minimum(maxlen,
+                                                 W + boff - bw + 1))
+                carry = jax.lax.fori_loop(0, b1, row_edge_c, carry)
+                carry = jax.lax.fori_loop(b1, b2, row_body_c, carry)
+                carry = jax.lax.fori_loop(b2, maxlen, row_edge_c, carry)
+            else:
+                carry = jax.lax.fori_loop(0, maxlen, row_edge_c, carry)
+            cap_ref[:, :] = carry[-1]
         else:
             def row_edge(k, carry):
                 m0, ix0 = carry[-2:]
@@ -420,12 +464,13 @@ def _nw_band_kernel(meta_ref, rows_ref, win_ref, out_ref,
 @functools.partial(jax.jit,
                    static_argnames=("L", "W", "slack", "boff", "bw",
                                     "open_q", "ext_q", "interpret", "rpt",
-                                    "unroll", "peel"))
+                                    "unroll", "peel", "state_carry"))
 def nw_scores_banded(emis_t: jax.Array, cands: jax.Array, lens: jax.Array,
                      genome_words: jax.Array, *, L: int, W: int, slack: int,
                      boff: int, open_q: int, ext_q: int, bw: int = 64,
                      interpret: bool = False, rpt: int = 128,
-                     unroll: int = 1, peel: bool = True) -> jax.Array:
+                     unroll: int = 1, peel: bool = True,
+                     state_carry: bool = False) -> jax.Array:
     """Banded scores for every (read-strand, candidate) pair ([FROZEN v4]).
 
     emis_t:       int32[B2, 5, L]  emission tables, code-major
@@ -477,7 +522,7 @@ def nw_scores_banded(emis_t: jax.Array, cands: jax.Array, lens: jax.Array,
     kernel = functools.partial(
         _nw_band_kernel, L=L, W=W, Wroll=Wroll, boff=boff, bw=bw,
         n_seg=n_seg, open_q=open_q, ext_q=ext_q, S=S, unroll=unroll,
-        peel=peel)
+        peel=peel, state_carry=state_carry)
     out = pl.pallas_call(
         kernel,
         grid=(Gb, nt),

@@ -36,6 +36,9 @@ def main():
                     help="comma list of 0/1: A/B the boundary loop peel")
     ap.add_argument("--rpts", default="128",
                     help="comma list of reads-per-tile values")
+    ap.add_argument("--carries", default="0",
+                    help="comma list of 0/1: DP state in VMEM scratch (0) "
+                         "vs fori carry values (1)")
     ap.add_argument("--fill", type=float, default=1.0,
                     help="fraction of candidate slots that are real")
     args = ap.parse_args()
@@ -81,18 +84,21 @@ def main():
     # the unroll==2 kernel branch has no peel variant: normalize so the
     # A/B never reports two identical kernels as different rows
     variants = list(dict.fromkeys(
-        (int(u), bool(int(p)) if int(u) == 1 else True, int(r))
+        (int(u), bool(int(p)) if int(u) == 1 else True, int(r),
+         bool(int(c)) if int(u) == 1 else False)
         for u in args.unrolls.split(",")
         for p in args.peels.split(",")
-        for r in args.rpts.split(",")))
-    for unroll, peel, rpt in variants:
+        for r in args.rpts.split(",")
+        for c in args.carries.split(",")))
+    for unroll, peel, rpt, state_carry in variants:
         @jax.jit
         def probe():
             s = nw_pallas.nw_scores_banded(
                 emis_t, cands_j, lens_j, gwords, L=L, W=W,
                 slack=cfg.gap_slack, boff=boff, bw=bw,
                 open_q=cfg.gap_open_q(), ext_q=cfg.gap_extend_q(),
-                interpret=interpret, unroll=unroll, peel=peel, rpt=rpt)
+                interpret=interpret, unroll=unroll, peel=peel, rpt=rpt,
+                state_carry=state_carry)
             return jnp.sum(jnp.where(s > -(1 << 28), s, 0))
 
         t0 = time.perf_counter()
@@ -104,7 +110,8 @@ def main():
             np.asarray(probe())
             best = min(best, time.perf_counter() - t)
         print(json.dumps({
-            "unroll": unroll, "peel": peel, "rpt": rpt, "b2": B2,
+            "unroll": unroll, "peel": peel, "rpt": rpt,
+            "state_carry": state_carry, "b2": B2,
             "cands_real": n_real,
             "best_s": round(best, 4),
             "gcells_nominal_per_s": round(n_cells / best / 1e9, 2),
