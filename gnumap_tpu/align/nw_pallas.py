@@ -311,17 +311,22 @@ def _nw_band_kernel(meta_ref, rows_ref, win_ref, out_ref,
         cap_ref[:, :] = jnp.full((S, 128), NEG_INF, jnp.int32)
 
         # int32 window codes: Mosaic's lane rotate is 32-bit only.
-        # Rolled planes: at row i, lanes of wr[s] hold segment s's window
-        # bases win_s[(i + lane_local - boff) - 1]; rolled left 1 per row.
+        # All n_seg segments' 4-bit codes PACK into one int32 plane
+        # (lane of wp holds seg s's code in bits 4s..4s+3, each segment
+        # pre-rolled to its own phase), so the per-row carry needs ONE
+        # roll instead of n_seg — the kernel is permute-unit bound
+        # (~13 rolls/row reproduce the measured 22.8 us/tile), and this
+        # trades 2 rolls/row for 6 cheap ALU shift/mask ops.
         win_all = win_ref[0, 0].astype(jnp.int32)
-        wrs = tuple(
-            pltpu.roll(win_all[s * S:(s + 1) * S],
-                       (s * bw + boff) % Wroll, 1)
-            for s in range(n_seg))
+        wp0 = pltpu.roll(win_all[0:S], boff % Wroll, 1)
+        for s in range(1, n_seg):
+            wp0 = wp0 | (pltpu.roll(win_all[s * S:(s + 1) * S],
+                                    (s * bw + boff) % Wroll, 1) << (4 * s))
 
-        def one_row_c(k, m0, ix0, M, Ix, Iy, cap, wrs, edge=True):
-            """DP row k+1 on VALUE state; wrs views are pre-rolled for
-            this row.  Returns (m0', ix0', M', Ix', Iy', cap').
+        def one_row_c(k, m0, ix0, M, Ix, Iy, cap, wp, edge=True):
+            """DP row k+1 on VALUE state; wp is the packed window plane
+            pre-rolled for this row.  Returns (m0', ix0', M', Ix', Iy',
+            cap').
 
             ``edge=False`` (loop peel): rows boff+2 .. W+boff-bw+1 can
             touch neither window boundary (col < 1 needs i <= boff at
@@ -334,9 +339,11 @@ def _nw_band_kernel(meta_ref, rows_ref, win_ref, out_ref,
             opn = slab[:, 5:6]
             ext = slab[:, 6:7]
             endf = slab[:, 7:8] > 0
-            win = wrs[n_seg - 1][:, :128]
+            wpl = wp[:, :128]
+            win = (wpl >> (4 * (n_seg - 1))) & 15
             for s in range(n_seg - 2, -1, -1):
-                win = jnp.where(lane < (s + 1) * bw, wrs[s][:, :128], win)
+                win = jnp.where(lane < (s + 1) * bw, (wpl >> (4 * s)) & 15,
+                                win)
             if edge:
                 col = col_base + i
                 win = jnp.where((col < 1) | (col > W), 5, win)
@@ -364,11 +371,11 @@ def _nw_band_kernel(meta_ref, rows_ref, win_ref, out_ref,
             m0_new = jnp.full((S, 1), NEG_INF, jnp.int32)
             return m0_new, ix0_new, M_new, Ix_new, Iy_new, cap_new
 
-        def one_row(k, m0, ix0, wrs, edge=True):
+        def one_row(k, m0, ix0, wp, edge=True):
             """Ref-state wrapper around one_row_c (scratch VMEM mode)."""
             m0n, ix0n, M_new, Ix_new, Iy_new, cap_new = one_row_c(
                 k, m0, ix0, m_ref[:, :], ix_ref[:, :], iy_ref[:, :],
-                cap_ref[:, :], wrs, edge)
+                cap_ref[:, :], wp, edge)
             m_ref[:, :] = M_new
             ix_ref[:, :] = Ix_new
             iy_ref[:, :] = Iy_new
@@ -384,18 +391,16 @@ def _nw_band_kernel(meta_ref, rows_ref, win_ref, out_ref,
             # = endf = 0), so running it never changes the captured
             # scores, and Lp is even so the slab read stays in range
             def row2(k2, carry):
-                m0, ix0 = carry[-2:]
-                wrs = carry[:-2]
-                m0, ix0 = one_row(2 * k2, m0, ix0, wrs)
-                wrs1 = tuple(pltpu.roll(w, Wroll - 1, 1) for w in wrs)
-                m0, ix0 = one_row(2 * k2 + 1, m0, ix0, wrs1)
-                return tuple(pltpu.roll(w, Wroll - 2, 1) for w in wrs) + (
-                    m0, ix0)
+                wp, m0, ix0 = carry
+                m0, ix0 = one_row(2 * k2, m0, ix0, wp)
+                m0, ix0 = one_row(2 * k2 + 1, m0, ix0,
+                                  pltpu.roll(wp, Wroll - 1, 1))
+                return (pltpu.roll(wp, Wroll - 2, 1), m0, ix0)
 
             jax.lax.fori_loop(
                 0, (maxlen + 1) // 2, row2,
-                wrs + (jnp.zeros((S, 1), jnp.int32),
-                       jnp.full((S, 1), NEG_INF, jnp.int32)))
+                (wp0, jnp.zeros((S, 1), jnp.int32),
+                 jnp.full((S, 1), NEG_INF, jnp.int32)))
         elif state_carry:
             # DP state rides the fori carry as VALUES instead of VMEM
             # scratch refs: the ref form moves ~6 x 64 KB of scratch
@@ -403,18 +408,14 @@ def _nw_band_kernel(meta_ref, rows_ref, win_ref, out_ref,
             # allocate / software-pipeline the state (A/B measured via
             # kernel_bench --carries; bit-identical either way)
             def row_edge_c(k, carry):
-                wrs_c = carry[:n_seg]
-                st = one_row_c(k, *carry[n_seg:], wrs_c, edge=True)
-                return tuple(pltpu.roll(w, Wroll - 1, 1)
-                             for w in wrs_c) + st
+                st = one_row_c(k, *carry[1:], carry[0], edge=True)
+                return (pltpu.roll(carry[0], Wroll - 1, 1),) + st
 
             def row_body_c(k, carry):
-                wrs_c = carry[:n_seg]
-                st = one_row_c(k, *carry[n_seg:], wrs_c, edge=False)
-                return tuple(pltpu.roll(w, Wroll - 1, 1)
-                             for w in wrs_c) + st
+                st = one_row_c(k, *carry[1:], carry[0], edge=False)
+                return (pltpu.roll(carry[0], Wroll - 1, 1),) + st
 
-            carry = wrs + (
+            carry = (wp0,) + (
                 jnp.zeros((S, 1), jnp.int32),
                 jnp.full((S, 1), NEG_INF, jnp.int32),
                 jnp.where((col_base >= 0) & (col_base <= W),
@@ -434,21 +435,17 @@ def _nw_band_kernel(meta_ref, rows_ref, win_ref, out_ref,
             cap_ref[:, :] = carry[-1]
         else:
             def row_edge(k, carry):
-                m0, ix0 = carry[-2:]
-                wrs = carry[:-2]
-                m0, ix0 = one_row(k, m0, ix0, wrs, edge=True)
-                return tuple(pltpu.roll(w, Wroll - 1, 1) for w in wrs) + (
-                    m0, ix0)
+                wp, m0, ix0 = carry
+                m0, ix0 = one_row(k, m0, ix0, wp, edge=True)
+                return (pltpu.roll(wp, Wroll - 1, 1), m0, ix0)
 
             def row_body(k, carry):
-                m0, ix0 = carry[-2:]
-                wrs = carry[:-2]
-                m0, ix0 = one_row(k, m0, ix0, wrs, edge=False)
-                return tuple(pltpu.roll(w, Wroll - 1, 1) for w in wrs) + (
-                    m0, ix0)
+                wp, m0, ix0 = carry
+                m0, ix0 = one_row(k, m0, ix0, wp, edge=False)
+                return (pltpu.roll(wp, Wroll - 1, 1), m0, ix0)
 
-            carry = wrs + (jnp.zeros((S, 1), jnp.int32),
-                           jnp.full((S, 1), NEG_INF, jnp.int32))
+            carry = (wp0, jnp.zeros((S, 1), jnp.int32),
+                     jnp.full((S, 1), NEG_INF, jnp.int32))
             if peel:
                 b1 = jnp.minimum(maxlen, boff + 1)
                 b2 = jnp.maximum(b1, jnp.minimum(maxlen,
