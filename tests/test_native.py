@@ -198,3 +198,43 @@ def test_native_sam_formatter_byte_identical(monkeypatch):
     joined = "".join(native_lines)
     assert "\t16\t" in joined or "\t272\t" in joined   # minus strand hit
     assert "\t4\t*\t" in joined or True                # unmapped may occur
+
+
+def test_native_sam_formatter_long_names_many_hits(monkeypatch):
+    """Capacity regression: every hit repeats its read's qname, so long
+    headers x many retained hits must not overflow the native buffer."""
+    import pytest
+    from conftest import records_from_sim
+    from gnumap_tpu.config import MapperConfig
+    from gnumap_tpu.index import builder
+    from gnumap_tpu.io import fastq as io_fastq, sam as sam_io
+    from gnumap_tpu.native import lib as native_lib
+    from gnumap_tpu.pipeline import mapper as pl
+    from gnumap_tpu.utils import sim
+    if not native_lib.available():
+        pytest.skip("native lib unavailable")
+    cfg = MapperConfig(mer_size=8, seed_jump=4, batch_size=32,
+                       max_read_len=40, align_score_ratio=0.8,
+                       max_hits_per_seed=32, sam_out=True, sgr_out=False)
+    genome, spots = sim.random_genome_families(
+        30_000, seed=5, n_families=1, copies=12, unit_len=200)
+    gen = builder.Genome.from_contigs(
+        [("a_very_long_reference_contig_name_for_capacity_checks",
+          genome)])
+    idx = builder.build_index(gen, cfg)
+    starts = (np.concatenate(spots)[:, None]
+              + np.arange(0, 160, 16)[None, :]).ravel()
+    reads = sim.simulate_reads(genome, 32, 36, seed=6, sub_rate=0.0,
+                               contig="x", positions=starts)
+    recs = records_from_sim(reads, cfg)
+    recs = [io_fastq.ReadRecord(
+        "an_extremely_long_read_header_the_kind_srr_archives_emit_"
+        "with_tile_and_coordinate_fields_" + r.name,
+        r.codes, r.pwm_q, r.quals) for r in recs]
+    m = pl.TpuMapper(gen, idx, cfg)
+    res = pl.map_stream(m, io_fastq.batch_reads(iter(recs), cfg),
+                        collect_sam=True)
+    joined = "".join(res.sam_lines)
+    # ~12 co-best hits per read, every record carrying the long qname
+    assert joined.count("an_extremely_long_read_header") >= 32
+    assert "\t256\t" in joined or "\t272\t" in joined
